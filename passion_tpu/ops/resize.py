@@ -1,0 +1,86 @@
+"""Separable trilinear / nearest resampling for channels-last 3D volumes.
+
+`jax.image.resize` does not reproduce PyTorch's `align_corners=True`
+trilinear grid (reference uses `nn.Upsample(scale_factor=2, mode='trilinear',
+align_corners=True)` throughout, e.g. code/models/rfnet.py:54,110-112), so we
+implement the align-corners grid math explicitly as three small dense
+interpolation matrices applied per axis. The matrices are trace-time
+constants, so XLA fuses the three contractions onto the MXU — far faster on
+TPU than a gather-based kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Interpolation must stay fp32-exact on the MXU (bf16 default would drift
+# from torch's align_corners grid by ~1e-3).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """(out_size, in_size) linear-interpolation matrix, float32."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    elif align_corners:  # single output point maps to origin
+        src = np.zeros((1,), dtype=np.float64)
+    else:
+        scale = in_size / out_size
+        src = np.clip((np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5, 0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), 1.0 - w)
+    np.add.at(m, (rows, hi), w)
+    return m
+
+
+def resize_trilinear(x: jnp.ndarray, out_shape, align_corners: bool = True) -> jnp.ndarray:
+    """Resize (B, H, W, Z, C) volume to spatial `out_shape` = (H', W', Z')."""
+    b, h, w, z, c = x.shape
+    oh, ow, oz = out_shape
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if oh != h:
+        mh = jnp.asarray(_linear_matrix(h, oh, align_corners))
+        xf = jnp.einsum("oh,bhwzc->bowzc", mh, xf, precision=_PRECISION)
+    if ow != w:
+        mw = jnp.asarray(_linear_matrix(w, ow, align_corners))
+        xf = jnp.einsum("ow,bhwzc->bhozc", mw, xf, precision=_PRECISION)
+    if oz != z:
+        mz = jnp.asarray(_linear_matrix(z, oz, align_corners))
+        xf = jnp.einsum("oz,bhwzc->bhwoc", mz, xf, precision=_PRECISION)
+    return xf.astype(dtype)
+
+
+def upsample_trilinear(x: jnp.ndarray, scale: int, align_corners: bool = True) -> jnp.ndarray:
+    """Upsample (B, H, W, Z, C) by integer `scale` (torch Upsample parity)."""
+    if scale == 1:
+        return x
+    _, h, w, z, _ = x.shape
+    return resize_trilinear(x, (h * scale, w * scale, z * scale), align_corners)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
+    """Nearest-neighbor upsample matching torch `nn.Upsample(mode='nearest')`.
+
+    Torch nearest picks source index floor(dst * in/out) == floor(dst/scale)
+    for integer scales; for integer upsampling this equals a repeat.
+    """
+    if scale == 1:
+        return x
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    x = jnp.repeat(x, scale, axis=3)
+    return x

@@ -1,0 +1,99 @@
+"""Golden tests for core ops against PyTorch CPU reference semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from passion_tpu.ops import (
+    instance_norm,
+    resize_trilinear,
+    upsample_trilinear,
+    upsample_nearest,
+    fusion_attention_bias,
+    cross_key_bias,
+)
+
+
+def _to_torch_ncdhw(x_bhwzc):
+    return torch.from_numpy(np.moveaxis(x_bhwzc, -1, 1).copy())
+
+
+def _from_torch_ncdhw(t):
+    return np.moveaxis(t.numpy(), 1, -1)
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+@pytest.mark.parametrize("shape", [(2, 5, 5, 5, 3), (1, 10, 8, 6, 2)])
+def test_trilinear_align_corners_matches_torch(rng, scale, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    ours = np.asarray(upsample_trilinear(jnp.asarray(x), scale))
+    theirs = _from_torch_ncdhw(
+        F.interpolate(_to_torch_ncdhw(x), scale_factor=scale, mode="trilinear",
+                      align_corners=True)
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_trilinear_arbitrary_size_matches_torch(rng):
+    x = rng.standard_normal((1, 7, 9, 5, 4)).astype(np.float32)
+    out = (13, 6, 11)
+    ours = np.asarray(resize_trilinear(jnp.asarray(x), out))
+    theirs = _from_torch_ncdhw(
+        F.interpolate(_to_torch_ncdhw(x), size=out, mode="trilinear",
+                      align_corners=True)
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_upsample_matches_torch(rng):
+    x = rng.standard_normal((2, 5, 5, 5, 3)).astype(np.float32)
+    ours = np.asarray(upsample_nearest(jnp.asarray(x), 2))
+    theirs = _from_torch_ncdhw(
+        F.interpolate(_to_torch_ncdhw(x), scale_factor=2, mode="nearest")
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=0, atol=0)
+
+
+def test_instance_norm_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 7, 6, 5)).astype(np.float32) * 3 + 1
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    m = torch.nn.InstanceNorm3d(5)  # affine=False, eps=1e-5 defaults
+    theirs = _from_torch_ncdhw(m(_to_torch_ncdhw(x)).detach())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_fusion_attention_bias_structure():
+    p = 2  # tokens per block
+    mask = jnp.asarray([[True, False, True, False],
+                        [True, True, True, True]])
+    bias = np.asarray(fusion_attention_bias(mask, p))  # (2, 1, 10, 10)
+    assert bias.shape == (2, 1, 10, 10)
+    allow = bias[:, 0] == 0.0
+
+    # modality tokens attend only within their own block
+    for m in range(4):
+        rows = slice(p * m, p * (m + 1))
+        assert allow[0, rows, rows].all()
+        other = np.ones(10, dtype=bool)
+        other[p * m:p * (m + 1)] = False
+        assert not allow[0, rows][:, other].any()
+
+    # fusion rows: self + present modalities only
+    frows = slice(4 * p, 5 * p)
+    assert allow[0, frows, frows].all()
+    assert allow[0, frows, 0 * p:1 * p].all()      # flair present
+    assert not allow[0, frows, 1 * p:2 * p].any()  # t1ce absent
+    assert allow[0, frows, 2 * p:3 * p].all()      # t1 present
+    assert not allow[0, frows, 3 * p:4 * p].any()  # t2 absent
+    # full-mask row sees everything from fusion rows
+    assert allow[1, frows, :].all()
+
+
+def test_cross_key_bias_structure():
+    mask = jnp.asarray([[False, True, False, True]])
+    bias = np.asarray(cross_key_bias(mask, 3))  # (1, 1, 12)
+    allow = bias[0, 0] == 0.0
+    expected = np.repeat(np.array([False, True, False, True]), 3)
+    np.testing.assert_array_equal(allow, expected)
