@@ -98,10 +98,20 @@ def temp_kl_loss_bs(
     return jnp.mean(kl, axis=(1, 2, 3, 4))[:, None]
 
 
+def _safe_norm(x, axis, eps):
+    """max(||x||, eps) with a NaN-free gradient at x == 0.
+
+    sqrt(max(Σx², eps²)) equals max(sqrt(Σx²), eps) exactly (monotonicity)
+    but never differentiates sqrt at 0 — zero vectors arise routinely from
+    fully-masked modality paths.
+    """
+    return jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis), eps * eps))
+
+
 def _cosine_similarity(x, y, axis, eps=1e-5):
     """torch.nn.functional.cosine_similarity semantics."""
-    xn = jnp.maximum(jnp.linalg.norm(x, axis=axis), eps)
-    yn = jnp.maximum(jnp.linalg.norm(y, axis=axis), eps)
+    xn = _safe_norm(x, axis, eps)
+    yn = _safe_norm(y, axis, eps)
     return jnp.sum(x * y, axis=axis) / (xn * yn)
 
 
@@ -156,8 +166,8 @@ def prototype_passion_loss_bs(
 
     # cosine similarity maps: (B, num_cls, H, W, Z)
     def sim_maps(feature, proto):
-        fn = jnp.maximum(jnp.linalg.norm(feature, axis=-1), eps)  # (B,H,W,Z)
-        pn = jnp.maximum(jnp.linalg.norm(proto, axis=-1), eps)  # (B,K)
+        fn = _safe_norm(feature, -1, eps)  # (B,H,W,Z)
+        pn = _safe_norm(proto, -1, eps)  # (B,K)
         dots = jnp.einsum("bhwzc,bkc->bkhwz", feature, proto)
         return dots / (fn[:, None] * pn[:, :, None, None, None])
 

@@ -1,0 +1,44 @@
+"""PASSION-TPU backbones: RFNet, mmFormer, M2FTrans.
+
+Each backbone is a flax module exposing:
+  * `__call__(x, mask)` — inference, returns softmax fused prediction;
+  * `train_losses(x, mask, target, temp, use_passion)` — training forward
+    with in-graph per-sample losses mirroring the reference's 6-output
+    `Model.forward` (rfnet.py:217-403, mmformer.py:381-659,
+    m2ftrans.py:514-771).
+
+`get_model(name, ...)` resolves the reference's `--model` flag values.
+"""
+
+from __future__ import annotations
+
+
+def init_params(model, key, patch_size: int = 80, batch_size: int = 1):
+    """Initialize all parameter collections of a backbone.
+
+    Runs the FULL training forward (`train_losses` with use_passion=True) so
+    every submodule — fusion decoder, shared sep decoder, transformers —
+    creates its parameters; a plain `__call__` init would skip the
+    training-only modules.
+    """
+    import jax.numpy as jnp
+
+    s = patch_size
+    x = jnp.zeros((batch_size, s, s, s, 4), jnp.float32)
+    mask = jnp.ones((batch_size, 4), bool)
+    target = jnp.zeros((batch_size, s, s, s, model.num_cls), jnp.float32)
+    return model.init(key, x, mask, target, 1.0, True,
+                      method=type(model).train_losses)
+
+
+def get_model(name: str, num_cls: int = 4, mask_type: str = "idt"):
+    if name == "rfnet":
+        from passion_tpu.models.rfnet import RFNet
+        return RFNet(num_cls=num_cls, mask_type=mask_type)
+    if name == "mmformer":
+        from passion_tpu.models.mmformer import MMFormer
+        return MMFormer(num_cls=num_cls, mask_type=mask_type)
+    if name == "m2ftrans":
+        from passion_tpu.models.m2ftrans import M2FTrans
+        return M2FTrans(num_cls=num_cls, mask_type=mask_type)
+    raise ValueError(f"unknown model: {name!r} (rfnet | mmformer | m2ftrans)")

@@ -1,0 +1,544 @@
+"""Shared building blocks for the PASSION-TPU backbones (flax, channels-last).
+
+Functional re-designs of the reference block zoo (code/models/blocks.py):
+conv+InstanceNorm+LeakyReLU units (post/pre-norm), transformer pieces,
+probability-region-map (PRM) generators, modality/region fusion blocks, and
+the masked channel cross-attention. All tensors are channels-last
+`(B, H, W, Z, C)`; stacked per-modality tensors are `(B, M=4, H, W, Z, C)`.
+
+The reference's boolean row masking `y[mask] = x[mask]` (blocks.py:387-390
+etc.) becomes a broadcast multiply, and its per-forward host-built attention
+masks (models/mask.py) are replaced by the traced bias builders in
+`passion_tpu.ops.attn_mask`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from passion_tpu.ops.attn_mask import cross_key_bias, fusion_attention_bias
+from passion_tpu.ops.norm import instance_norm
+
+NUM_MODALS = 4
+
+# torch kaiming_normal_(fan_in, leaky_relu a=0) == variance_scaling(2, fan_in)
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def leaky_relu(x, negative_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def mask_modalities(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero features of absent modalities.
+
+    Args:
+      x: (B, M, ..., C) stacked per-modality tensor.
+      mask: (B, M) bool/float modality-present mask.
+
+    jit-safe equivalent of the reference's `y[mask] = x[mask]`
+    (rfnet.py:158-163): absent rows become zeros.
+    """
+    shape = (x.shape[0], x.shape[1]) + (1,) * (x.ndim - 2)
+    return x * mask.astype(x.dtype).reshape(shape)
+
+
+def flatten_modalities(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, M, H, W, Z, C) -> (B, H, W, Z, M*C), modality-major channel order.
+
+    Matches the reference's `y.view(B, -1, H, W, Z)` after stacking along a
+    modality axis in NCHWD layout (rfnet.py:162).
+    """
+    b, m, h, w, z, c = x.shape
+    return jnp.moveaxis(x, 1, 4).reshape(b, h, w, z, m * c)
+
+
+class Conv3d(nn.Module):
+    """Plain 3D conv with torch-style explicit padding (reflect or zeros)."""
+
+    features: int
+    k_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    pad_type: str = "reflect"  # 'reflect' | 'zeros'
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.padding:
+            p = self.padding
+            mode = "reflect" if self.pad_type == "reflect" else "constant"
+            x = jnp.pad(
+                x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)), mode=mode
+            )
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.k_size,) * 3,
+            strides=(self.stride,) * 3,
+            padding="VALID",
+            use_bias=self.use_bias,
+            kernel_init=conv_kernel_init,
+        )(x)
+
+
+class GeneralConv3d(nn.Module):
+    """conv3d -> InstanceNorm -> LeakyReLU(0.2) (blocks.py:354-370)."""
+
+    features: int
+    k_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    pad_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3d(self.features, self.k_size, self.stride, self.padding,
+                   self.pad_type)(x)
+        return leaky_relu(instance_norm(x))
+
+
+class GeneralConv3dPreNorm(nn.Module):
+    """InstanceNorm -> LeakyReLU(0.2) -> conv3d (blocks.py:300-316).
+
+    Note the reference normalizes with `normalization(out_ch)` but applies it
+    to the *input*; InstanceNorm3d is parameter-free so the channel count is
+    irrelevant — semantics are norm(input).
+    """
+
+    features: int
+    k_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    pad_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x):
+        x = leaky_relu(instance_norm(x))
+        return Conv3d(self.features, self.k_size, self.stride, self.padding,
+                      self.pad_type)(x)
+
+
+# ---------------------------------------------------------------------------
+# Token-transformer pieces (mmformer.py:192-313, m2ftrans.py:245-395)
+# ---------------------------------------------------------------------------
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention, qkv without bias (mmformer.py:192-227)."""
+
+    heads: int = 8
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = c // self.heads
+        qkv = nn.Dense(3 * c, use_bias=False, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        y = nn.Dense(c, name="proj")(y)
+        return nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+
+
+class MaskedAttention(nn.Module):
+    """Self-attention with the M2FTrans fusion-visibility mask.
+
+    Token layout: 4 modality blocks + 1 fusion block of `tokens_per_block`
+    tokens each. Returns (output, attention-probabilities) — the attention is
+    consumed downstream by Weight_Attention (m2ftrans.py:321-359).
+    """
+
+    heads: int = 8
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        b, n, c = x.shape
+        tokens_per_block = n // (NUM_MODALS + 1)
+        head_dim = c // self.heads
+        qkv = nn.Dense(3 * c, use_bias=False, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim ** -0.5)
+        attn = attn + fusion_attention_bias(mask, tokens_per_block)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn_probs = attn
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+        y = nn.Dense(c, name="proj")(y)
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return y, attn_probs
+
+
+class FeedForward(nn.Module):
+    """Linear -> GELU -> Dropout -> Linear -> Dropout (mmformer.py:267-279)."""
+
+    hidden_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = x.shape[-1]
+        x = nn.Dense(self.hidden_dim)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(c)(x)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class Transformer(nn.Module):
+    """Pre-norm transformer with per-layer positional re-add (mmformer.py:282-313)."""
+
+    depth: int = 1
+    heads: int = 8
+    mlp_dim: int = 4096
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos, *, deterministic: bool = True):
+        for j in range(self.depth):
+            x = x + pos
+            h = nn.LayerNorm(name=f"attn_norm_{j}")(x)
+            h = SelfAttention(self.heads, self.dropout_rate,
+                              name=f"attn_{j}")(h, deterministic=deterministic)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            x = x + h
+            f = nn.LayerNorm(name=f"ffn_norm_{j}")(x)
+            f = FeedForward(self.mlp_dim, self.dropout_rate,
+                            name=f"ffn_{j}")(f, deterministic=deterministic)
+            x = x + f
+        return x
+
+
+class MaskedTransformer(nn.Module):
+    """Depth-N masked transformer returning per-layer attention maps
+    (m2ftrans.py:363-395). Attention maps are stop-gradiented as in the
+    reference (`attn.detach()`, m2ftrans.py:393)."""
+
+    depth: int = 3
+    heads: int = 8
+    mlp_dim: int = 4096
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        attn_list = []
+        for j in range(self.depth):
+            h = nn.LayerNorm(name=f"attn_norm_{j}")(x)
+            h, attn = MaskedAttention(self.heads, self.dropout_rate,
+                                      name=f"attn_{j}")(
+                h, mask, deterministic=deterministic)
+            attn_list.append(jax.lax.stop_gradient(attn))
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            x = x + h
+            f = nn.LayerNorm(name=f"ffn_norm_{j}")(x)
+            f = FeedForward(self.mlp_dim, self.dropout_rate,
+                            name=f"ffn_{j}")(f, deterministic=deterministic)
+            x = x + f
+        return x, attn_list
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt-ish LN+GELU conv blocks (blocks.py:32-109) — channels-last makes
+# the reference's nchwd2nlc2nchwd LayerNorm shuffling a plain LayerNorm.
+# ---------------------------------------------------------------------------
+
+
+class DepthWiseConvBlock(nn.Module):
+    """1x1 conv -> LN -> GELU -> depthwise 3x3 -> LN -> GELU -> 1x1 -> LN."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        mid = x.shape[-1]
+        x = nn.Conv(mid, (1, 1, 1))(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(mid, (3, 3, 3), padding=1, feature_group_count=mid)(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(self.out_channels, (1, 1, 1))(x)
+        return nn.LayerNorm(epsilon=1e-6)(x)
+
+
+class GroupConvBlock(nn.Module):
+    """Inverted-bottleneck grouped conv FFN with residual (blocks.py:65-109)."""
+
+    expand_ratio: int = 4
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, identity=None, *, deterministic: bool = True):
+        c = x.shape[-1]
+        inp = x
+        x = nn.Conv(c * self.expand_ratio, (1, 1, 1))(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        # torch: Conv3d(4c, 4c, 3, groups=c) -> each group spans 4 channels
+        x = nn.Conv(c * self.expand_ratio, (3, 3, 3), padding=1,
+                    feature_group_count=c)(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(c, (1, 1, 1))(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = nn.Dropout(self.proj_drop)(x, deterministic=deterministic)
+        x = (inp if identity is None else identity) + x
+        return jax.nn.gelu(x, approximate=False)
+
+
+class MultiMaskAttentionLayer(nn.Module):
+    """Channel-token cross-attention with per-modality K/V projections.
+
+    Queries are CHANNELS (spatial as features): query (B, Cq, L) attends over
+    4*Ck key channels; key channels of absent modalities are masked out
+    (blocks.py:246-297). `feature_maps` is a (B, M, H, W, Z, Ck) stack.
+    """
+
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, feature_maps, mask, *, deterministic: bool = True):
+        identity = query
+        b, h, w, z, cq = query.shape
+        ck = feature_maps.shape[-1]
+        l = h * w * z
+
+        q = DepthWiseConvBlock(cq, name="query_map")(query)
+
+        keys, values = [], []
+        for m, nm in enumerate(("flair", "t1ce", "t1", "t2")):
+            fm = feature_maps[:, m]
+            keys.append(DepthWiseConvBlock(ck, name=f"key_map_{nm}")(fm))
+            values.append(DepthWiseConvBlock(ck, name=f"value_map_{nm}")(fm))
+
+        # (B, C, L) channel-token layout
+        def to_cl(t):
+            return t.reshape(b, l, -1).swapaxes(1, 2)
+
+        q = to_cl(q)
+        k = jnp.concatenate([to_cl(t) for t in keys], axis=1)  # (B, 4Ck, L)
+        v = jnp.concatenate([to_cl(t) for t in values], axis=1)
+
+        attn = jnp.einsum("bql,bkl->bqk", q, k) * (l ** -0.5)
+        attn = attn + cross_key_bias(mask, ck)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        y = jnp.einsum("bqk,bkl->bql", attn, v)
+        y = y.swapaxes(1, 2).reshape(b, h, w, z, cq)
+        y = DepthWiseConvBlock(cq, name="out_project")(y)
+        y = nn.Dropout(self.proj_drop)(y, deterministic=deterministic)
+        return identity + y
+
+
+class MultiMaskCrossBlock(nn.Module):
+    """Masked cross-attention + FFNs (blocks.py:206-244)."""
+
+    expand_ratio: int = 4
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    ffn_feature_maps: bool = True
+
+    @nn.compact
+    def __call__(self, kernels, feature_maps, mask, *, deterministic: bool = True):
+        kernels = MultiMaskAttentionLayer(
+            self.attn_drop_rate, self.drop_rate, name="cross_attn"
+        )(kernels, feature_maps, mask, deterministic=deterministic)
+        kernels = GroupConvBlock(self.expand_ratio, name="ffn1")(
+            kernels, identity=kernels, deterministic=deterministic)
+        if self.ffn_feature_maps:
+            ffn2 = GroupConvBlock(self.expand_ratio, name="ffn2")
+            feature_maps = jnp.stack(
+                [ffn2(feature_maps[:, m], identity=feature_maps[:, m],
+                      deterministic=deterministic)
+                 for m in range(NUM_MODALS)],
+                axis=1,
+            )
+        return kernels, feature_maps
+
+
+class MultiCrossToken(nn.Module):
+    """Stack of MultiMaskCrossBlocks refining the fusion kernel volume
+    (m2ftrans.py:25-61)."""
+
+    num_layers: int = 2
+    mlp_ratio: int = 4
+    drop_rate: float = 0.1
+    attn_drop_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, feature_maps, kernels, mask, *, deterministic: bool = True):
+        for i in range(self.num_layers):
+            kernels, feature_maps = MultiMaskCrossBlock(
+                expand_ratio=self.mlp_ratio,
+                drop_rate=self.drop_rate,
+                attn_drop_rate=self.attn_drop_rate,
+                ffn_feature_maps=(i != self.num_layers - 1),
+                name=f"layer_{i}",
+            )(kernels, feature_maps, mask, deterministic=deterministic)
+        return kernels
+
+
+# ---------------------------------------------------------------------------
+# PRM generators and fusion blocks (blocks.py:372-626)
+# ---------------------------------------------------------------------------
+
+
+class _EmbeddingLayer(nn.Module):
+    """general_conv3d x3: (4C -> C/4 -> C/4 -> C) (blocks.py:376-379)."""
+
+    in_channel: int
+
+    @nn.compact
+    def __call__(self, y):
+        c = self.in_channel
+        y = GeneralConv3d(c // 4, k_size=1, padding=0)(y)
+        y = GeneralConv3d(c // 4, k_size=3, padding=1)(y)
+        return GeneralConv3d(c, k_size=1, padding=0)(y)
+
+
+class PRMGeneratorLastStage(nn.Module):
+    """Deepest-scale PRM head on masked stacked features
+    (prm_generator_laststage_pk, blocks.py:396-416). Returns logits."""
+
+    in_channel: int
+    num_cls: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask):
+        y = flatten_modalities(mask_modalities(x, mask))
+        y = _EmbeddingLayer(self.in_channel, name="embedding_layer")(y)
+        y = GeneralConv3d(16, k_size=1, padding=0)(y)
+        return Conv3d(self.num_cls, k_size=1, padding=0)(y)
+
+
+class PRMGenerator(nn.Module):
+    """PRM head on [decoded features | embedded masked skip] concat
+    (prm_generator_pk, blocks.py:443-464). Returns logits."""
+
+    in_channel: int
+    num_cls: int = 4
+
+    @nn.compact
+    def __call__(self, x1, x2, mask):
+        y = flatten_modalities(mask_modalities(x2, mask))
+        y = _EmbeddingLayer(self.in_channel, name="embedding_layer")(y)
+        y = jnp.concatenate([x1, y], axis=-1)
+        y = GeneralConv3d(16, k_size=1, padding=0)(y)
+        return Conv3d(self.num_cls, k_size=1, padding=0)(y)
+
+
+class PRMFusion(nn.Module):
+    """Plain PRM head (prm_fusion_pk, blocks.py:481-492). Returns logits."""
+
+    num_cls: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = GeneralConv3d(16, k_size=1, padding=0)(x)
+        return Conv3d(self.num_cls, k_size=1, padding=0)(x)
+
+
+class ModalFusion(nn.Module):
+    """Learned sigmoid per-modality weights inside one region
+    (blocks.py:495-517)."""
+
+    @nn.compact
+    def __call__(self, x, prm_region):
+        """x: (B, M, H, W, Z, C) region features; prm_region: (B, H, W, Z)."""
+        b = x.shape[0]
+        prm_avg = jnp.mean(prm_region, axis=(1, 2, 3)) + 1e-7  # (B,)
+        feat_avg = jnp.mean(x, axis=(2, 3, 4)) / prm_avg[:, None, None]  # (B,M,C)
+        vec = jnp.concatenate(
+            [feat_avg.reshape(b, -1), prm_avg[:, None]], axis=-1
+        )  # (B, M*C + 1)
+        w = nn.Dense(128, kernel_init=conv_kernel_init)(vec)
+        w = leaky_relu(w)
+        w = nn.Dense(NUM_MODALS, kernel_init=conv_kernel_init)(w)
+        w = jax.nn.sigmoid(w)  # (B, M)
+        return jnp.sum(x * w[:, :, None, None, None, None], axis=1)
+
+
+class RegionFusion(nn.Module):
+    """Fuse per-region features: (B, K, H, W, Z, C) -> (B, H, W, Z, C//2)
+    (blocks.py:520-531)."""
+
+    in_channel: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = flatten_modalities(x)  # region-major channel concat
+        y = GeneralConv3d(self.in_channel, k_size=1, padding=0)(y)
+        y = GeneralConv3d(self.in_channel, k_size=3, padding=1)(y)
+        return GeneralConv3d(self.in_channel // 2, k_size=1, padding=0)(y)
+
+
+class RegionAwareModalFusion(nn.Module):
+    """Region-aware modality fusion (blocks.py:582-626).
+
+    Splits masked modality features into PRM-weighted regions, fuses
+    modalities per region with learned weights, then concatenates with a
+    shortcut fusion of the raw masked features.
+    """
+
+    in_channel: int
+    num_cls: int = 4
+
+    @nn.compact
+    def __call__(self, x, prm, mask):
+        """x: (B, M, H, W, Z, C); prm: (B, H, W, Z, K) softmax probs; mask: (B, M)."""
+        y = mask_modalities(x, mask)
+        region_fused = []
+        for r in range(self.num_cls):
+            region_feat = y * prm[:, None, ..., r:r + 1]  # (B, M, H, W, Z, C)
+            region_fused.append(
+                ModalFusion(name=f"modal_fusion_{r}")(region_feat, prm[..., r])
+            )
+        region_fused = jnp.stack(region_fused, axis=1)  # (B, K, H, W, Z, C)
+        fused = RegionFusion(self.in_channel, name="region_fusion")(region_fused)
+
+        sc = flatten_modalities(y)
+        sc = GeneralConv3d(self.in_channel, k_size=1, padding=0)(sc)
+        sc = GeneralConv3d(self.in_channel, k_size=3, padding=1)(sc)
+        sc = GeneralConv3d(self.in_channel // 2, k_size=1, padding=0)(sc)
+        return jnp.concatenate([fused, sc], axis=-1)
+
+
+class FusionPreNorm(nn.Module):
+    """3x general_conv3d_prenorm on flattened modality stack
+    (fusion_prenorm, blocks.py:533-542)."""
+
+    in_channel: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, H, W, Z, M*C) already flattened (mmFormer passes masked
+        concatenated features)."""
+        c = self.in_channel
+        x = GeneralConv3dPreNorm(c, k_size=1, padding=0)(x)
+        x = GeneralConv3dPreNorm(c, k_size=3, padding=1)(x)
+        return GeneralConv3dPreNorm(c, k_size=1, padding=0)(x)
+
+
+class FusionPostNorm(nn.Module):
+    """Mask then 3x general_conv3d (fusion_postnorm, blocks.py:567-580)."""
+
+    in_channel: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: (B, M, H, W, Z, C) stacked; mask: (B, M)."""
+        c = self.in_channel
+        y = flatten_modalities(mask_modalities(x, mask))
+        y = GeneralConv3d(c, k_size=1, padding=0)(y)
+        y = GeneralConv3d(c, k_size=3, padding=1)(y)
+        return GeneralConv3d(c, k_size=1, padding=0)(y)
