@@ -31,14 +31,20 @@ def init_params(model, key, patch_size: int = 80, batch_size: int = 1):
                       method=type(model).train_losses)
 
 
-def get_model(name: str, num_cls: int = 4, mask_type: str = "idt"):
+def get_model(name: str, num_cls: int = 4, mask_type: str = "idt",
+              patch_size: int = 80, **kwargs):
+    """Resolve the reference's `--model` flag. `patch_size` sizes the
+    transformer backbones' learned positional embeddings ((ps/16)^3 tokens,
+    reference mmformer.py:21-22, m2ftrans.py:21-23)."""
     if name == "rfnet":
         from passion_tpu.models.rfnet import RFNet
-        return RFNet(num_cls=num_cls, mask_type=mask_type)
+        return RFNet(num_cls=num_cls, mask_type=mask_type, **kwargs)
     if name == "mmformer":
         from passion_tpu.models.mmformer import MMFormer
-        return MMFormer(num_cls=num_cls, mask_type=mask_type)
+        return MMFormer(num_cls=num_cls, mask_type=mask_type,
+                        patch_size=patch_size, **kwargs)
     if name == "m2ftrans":
         from passion_tpu.models.m2ftrans import M2FTrans
-        return M2FTrans(num_cls=num_cls, mask_type=mask_type)
+        return M2FTrans(num_cls=num_cls, mask_type=mask_type,
+                        patch_size=patch_size, **kwargs)
     raise ValueError(f"unknown model: {name!r} (rfnet | mmformer | m2ftrans)")

@@ -195,7 +195,11 @@ class FeedForward(nn.Module):
 
 
 class Transformer(nn.Module):
-    """Pre-norm transformer with per-layer positional re-add (mmformer.py:282-313)."""
+    """Pre-norm transformer with per-layer positional re-add (mmformer.py:282-313).
+
+    `deterministic` is positional so the module can sit under flax's lifted
+    vmap (which maps positional args only).
+    """
 
     depth: int = 1
     heads: int = 8
@@ -203,7 +207,7 @@ class Transformer(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x, pos, *, deterministic: bool = True):
+    def __call__(self, x, pos, deterministic: bool = True):
         for j in range(self.depth):
             x = x + pos
             h = nn.LayerNorm(name=f"attn_norm_{j}")(x)
@@ -229,7 +233,7 @@ class MaskedTransformer(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic: bool = True):
+    def __call__(self, x, mask, deterministic: bool = True):
         attn_list = []
         for j in range(self.depth):
             h = nn.LayerNorm(name=f"attn_norm_{j}")(x)

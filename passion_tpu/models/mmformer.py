@@ -1,0 +1,351 @@
+"""mmFormer: 3D conv/transformer hybrid, TPU-native rebuild of
+code/models/mmformer.py.
+
+Architecture (reference mmformer.py:24-189,328-447): five-stage pre-norm conv
+encoders per modality (dims 8->128); *IntraFormer* — per-modality 1x1 conv to
+d=512 over the (S/16)^3 bottleneck voxels, learned positional embedding, and a
+depth-1 self-attention transformer; *InterFormer* — the 4 modalities' tokens
+concatenated through a shared multimodal transformer and decoded back to conv
+features; a fusion decoder with `fusion_prenorm` modality fusion at all 5
+scales and deep-supervision heads seg_d4..seg_d1.
+
+Reference quirks preserved / fixed:
+  * the InterFormer token->volume reshape (mmformer.py:444) reinterprets the
+    (B, 4T, 512) token matrix as (B, s, s, s, 2048), interleaving tokens
+    4v..4v+3 into voxel v's channels — a fixed scramble feeding a learned
+    1x1 conv; replicated exactly for architecture parity.
+  * the reference masks the T2 self-distillation x5 stack with masks_mod2
+    (T1) instead of masks_mod3 (mmformer.py:522) — an evident bug; we use
+    masks_mod3 (documented deviation, affects mmFormer training only).
+
+TPU-first: per-modality encoders / encode-convs / intra transformers are one
+nn.vmap-lifted module each with a stacked (4, ...) param axis; the PASSION
+training forward's 5 InterFormer+decoder passes (mmformer.py:447,468-531) are
+one vmapped pass over a stacked (5, B, 4) mask axis with tied params.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from passion_tpu import losses
+from passion_tpu.models.layers import (
+    Conv3d,
+    FusionPreNorm,
+    GeneralConv3dPreNorm,
+    Transformer,
+    flatten_modalities,
+    mask_modalities,
+)
+from passion_tpu.models.rfnet import _unimodal_mask_stack
+from passion_tpu.ops.resize import upsample_trilinear
+
+NUM_MODALS = 4
+TRANSFORMER_DIM = 512
+MLP_DIM = 4096
+NUM_HEADS = 8
+DEPTH = 1
+
+
+class Encoder(nn.Module):
+    """5-stage pre-norm conv encoder, dims c..16c (mmformer.py:24-64)."""
+
+    basic_dims: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.basic_dims
+        x1 = Conv3d(c, name="e1_c1")(x)  # bare conv (mmformer.py:28)
+        x1 = x1 + GeneralConv3dPreNorm(c, name="e1_c3")(
+            GeneralConv3dPreNorm(c, name="e1_c2")(x1))
+        outs = [x1]
+        for i, mult in enumerate((2, 4, 8, 16), start=2):
+            xi = GeneralConv3dPreNorm(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
+            xi = xi + GeneralConv3dPreNorm(c * mult, name=f"e{i}_c3")(
+                GeneralConv3dPreNorm(c * mult, name=f"e{i}_c2")(xi))
+            outs.append(xi)
+        return tuple(outs)
+
+
+class DecoderSep(nn.Module):
+    """Shared 5-scale per-modality decoder -> softmax (mmformer.py:66-114)."""
+
+    num_cls: int = 4
+    basic_dims: int = 8
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, x4, x5):
+        c = self.basic_dims
+        de = GeneralConv3dPreNorm(c * 8, name="d4_c1")(upsample_trilinear(x5, 2))
+        de = GeneralConv3dPreNorm(c * 8, k_size=1, padding=0, name="d4_out")(
+            GeneralConv3dPreNorm(c * 8, name="d4_c2")(
+                jnp.concatenate([de, x4], axis=-1)))
+        de = GeneralConv3dPreNorm(c * 4, name="d3_c1")(upsample_trilinear(de, 2))
+        de = GeneralConv3dPreNorm(c * 4, k_size=1, padding=0, name="d3_out")(
+            GeneralConv3dPreNorm(c * 4, name="d3_c2")(
+                jnp.concatenate([de, x3], axis=-1)))
+        de = GeneralConv3dPreNorm(c * 2, name="d2_c1")(upsample_trilinear(de, 2))
+        de = GeneralConv3dPreNorm(c * 2, k_size=1, padding=0, name="d2_out")(
+            GeneralConv3dPreNorm(c * 2, name="d2_c2")(
+                jnp.concatenate([de, x2], axis=-1)))
+        de = GeneralConv3dPreNorm(c, name="d1_c1")(upsample_trilinear(de, 2))
+        de = GeneralConv3dPreNorm(c, k_size=1, padding=0, name="d1_out")(
+            GeneralConv3dPreNorm(c, name="d1_c2")(
+                jnp.concatenate([de, x1], axis=-1)))
+        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de)
+        return jax.nn.softmax(logits, axis=-1)
+
+
+class DecoderFuse(nn.Module):
+    """Fusion decoder with deep supervision (mmformer.py:116-189).
+
+    Inputs x1..x4 are flattened masked modality stacks (B, ..., 4*C_k);
+    x5 is the InterFormer-decoded volume (B, s, s, s, 16c*4).
+    Returns (logits, (pred1..pred4), (de_x1_f..de_x5_f)).
+    """
+
+    num_cls: int = 4
+    basic_dims: int = 8
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, x4, x5):
+        c = self.basic_dims
+        de_x5_f = FusionPreNorm(c * 16, name="RFM5")(x5)
+        pred4 = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_d4")(de_x5_f)
+        de_x5 = GeneralConv3dPreNorm(c * 8, name="d4_c1")(
+            upsample_trilinear(de_x5_f, 2))
+
+        de_x4 = FusionPreNorm(c * 8, name="RFM4")(x4)
+        de_x4_f = GeneralConv3dPreNorm(c * 8, k_size=1, padding=0, name="d4_out")(
+            GeneralConv3dPreNorm(c * 8, name="d4_c2")(
+                jnp.concatenate([de_x4, de_x5], axis=-1)))
+        pred3 = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_d3")(de_x4_f)
+        de_x4 = GeneralConv3dPreNorm(c * 4, name="d3_c1")(
+            upsample_trilinear(de_x4_f, 2))
+
+        de_x3 = FusionPreNorm(c * 4, name="RFM3")(x3)
+        de_x3_f = GeneralConv3dPreNorm(c * 4, k_size=1, padding=0, name="d3_out")(
+            GeneralConv3dPreNorm(c * 4, name="d3_c2")(
+                jnp.concatenate([de_x3, de_x4], axis=-1)))
+        pred2 = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_d2")(de_x3_f)
+        de_x3 = GeneralConv3dPreNorm(c * 2, name="d2_c1")(
+            upsample_trilinear(de_x3_f, 2))
+
+        de_x2 = FusionPreNorm(c * 2, name="RFM2")(x2)
+        de_x2_f = GeneralConv3dPreNorm(c * 2, k_size=1, padding=0, name="d2_out")(
+            GeneralConv3dPreNorm(c * 2, name="d2_c2")(
+                jnp.concatenate([de_x2, de_x3], axis=-1)))
+        pred1 = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_d1")(de_x2_f)
+        de_x2 = GeneralConv3dPreNorm(c, name="d1_c1")(
+            upsample_trilinear(de_x2_f, 2))
+
+        de_x1 = FusionPreNorm(c, name="RFM1")(x1)
+        de_x1_f = GeneralConv3dPreNorm(c, k_size=1, padding=0, name="d1_out")(
+            GeneralConv3dPreNorm(c, name="d1_c2")(
+                jnp.concatenate([de_x1, de_x2], axis=-1)))
+
+        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de_x1_f)
+        return logits, (pred1, pred2, pred3, pred4), (
+            de_x1_f, de_x2_f, de_x3_f, de_x4_f, de_x5_f)
+
+
+class FusePath(nn.Module):
+    """InterFormer + fusion decoder for ONE modality mask.
+
+    Vmapped over a stacked mask axis with tied params to realize the
+    reference's 5 sequential passes (mmformer.py:447,468-531) as one batched
+    computation.
+    """
+
+    num_cls: int = 4
+    basic_dims: int = 8
+    heads: int = NUM_HEADS
+    mlp_dim: int = MLP_DIM
+    depth: int = DEPTH
+
+    @nn.compact
+    def __call__(self, feats, intra_stack, pos_all, mask,
+                 deterministic: bool = True):
+        """feats: tuple of 4 stacked (B,4,...,C_k); intra_stack: (B,4,T,512);
+        pos_all: (1, 4T, 512); mask: (B, 4)."""
+        b, _, t, d = intra_stack.shape
+        s = round(t ** (1 / 3))
+        tokens = mask_modalities(intra_stack, mask).reshape(b, NUM_MODALS * t, d)
+        inter = Transformer(self.depth, self.heads, self.mlp_dim,
+                            name="multimodal_transformer")(
+            tokens, pos_all, deterministic)
+        # Reference reshape scramble (mmformer.py:444): (B, 4T, 512) ->
+        # (B, s, s, s, 2048), then a learned 1x1 decode conv.
+        x5 = inter.reshape(b, s, s, s, d * NUM_MODALS)
+        x5 = nn.Conv(self.basic_dims * 16 * NUM_MODALS, (1, 1, 1),
+                     name="multimodal_decode_conv")(x5)
+        flat = [flatten_modalities(mask_modalities(f, mask)) for f in feats]
+        return DecoderFuse(self.num_cls, self.basic_dims, name="decoder_fuse")(
+            *flat, x5)
+
+
+class EncodeConv(nn.Module):
+    """Per-modality 1x1 conv to transformer width (mmformer.py:337-340)."""
+
+    trans_dim: int = TRANSFORMER_DIM
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.trans_dim, (1, 1, 1))(x)
+
+
+class MMFormer(nn.Module):
+    """mmFormer backbone with PASSION training outputs (mmformer.py:328-659)."""
+
+    num_cls: int = 4
+    basic_dims: int = 8
+    mask_type: str = "idt"
+    patch_size: int = 80  # training patch edge; bottleneck tokens = (ps/16)^3
+    trans_dim: int = TRANSFORMER_DIM
+    mlp_dim: int = MLP_DIM
+    heads: int = NUM_HEADS
+    depth: int = DEPTH
+
+    # Deep-supervision schedule: preds at 1/2..1/16 resolution
+    # (mmformer.py:540-544, up_ops=[up2, up4, up8, up16]).
+    PRM_WEIGHTS = (0.5, 0.25, 0.125, 0.0625)
+    PRM_UPSCALES = (2, 4, 8, 16)
+
+    def setup(self):
+        self.encoders = nn.vmap(
+            Encoder, in_axes=1, out_axes=1,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+        )(self.basic_dims, name="encoders")
+        self.encode_convs = nn.vmap(
+            EncodeConv, in_axes=1, out_axes=1,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+        )(self.trans_dim, name="encode_convs")
+        self.intra_transformers = nn.vmap(
+            Transformer, in_axes=(1, 0, None), out_axes=1,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+        )(self.depth, self.heads, self.mlp_dim, name="intra_transformers")
+        self.decoder_sep = nn.vmap(
+            DecoderSep, in_axes=(1, 1, 1, 1, 1), out_axes=1,
+            variable_axes={"params": None}, split_rngs={"params": False},
+        )(self.num_cls, self.basic_dims, name="decoder_sep")
+        self.fuse_path = nn.vmap(
+            FusePath,
+            in_axes=(None, None, None, 0, None), out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False, "dropout": True},
+        )(self.num_cls, self.basic_dims, self.heads, self.mlp_dim,
+          self.depth, name="fuse_path")
+        t = (self.patch_size // 16) ** 3
+        # Learned per-modality positional embeddings (mmformer.py:342-345);
+        # zero-init as in the reference.
+        self.pos = self.param("pos", nn.initializers.zeros,
+                              (NUM_MODALS, 1, t, self.trans_dim))
+
+    def encode(self, x, mask, *, deterministic: bool = True):
+        """Returns (feats x1..x5 stacked (B,4,...,C), intra_stack (B,4,T,512),
+        pos_all (1,4T,512))."""
+        idt = self.mask_type != "pdt"
+        if idt:
+            x = x * mask.astype(x.dtype)[:, None, None, None, :]
+        xm = jnp.moveaxis(x[..., None], 4, 1)  # (B, 4, H, W, Z, 1)
+        feats = self.encoders(xm)
+        if idt:
+            feats = tuple(mask_modalities(f, mask) for f in feats)
+
+        x5 = feats[4]  # (B, 4, s, s, s, 16c)
+        b, _, s = x5.shape[:3]
+        t = s ** 3
+        if t != self.pos.shape[2]:
+            raise ValueError(
+                f"input bottleneck has {t} tokens but pos embedding was sized "
+                f"for patch_size={self.patch_size}; construct the model with "
+                f"the matching patch_size")
+        pos = self.pos  # (4, 1, T, D)
+        tok = self.encode_convs(x5).reshape(b, NUM_MODALS, t, self.trans_dim)
+        intra = self.intra_transformers(tok, pos, deterministic)
+        # mmformer.py:433 — intra tokens are masked in both pdt and idt modes
+        intra = mask_modalities(intra, mask)
+        pos_all = jnp.moveaxis(pos, 1, 0).reshape(1, NUM_MODALS * t, self.trans_dim)
+        return feats, intra, pos_all
+
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        feats, intra, pos_all = self.encode(x, mask, deterministic=deterministic)
+        logits, _, _ = self.fuse_path(feats[:4], intra, pos_all, mask[None],
+                                      deterministic)
+        return jax.nn.softmax(logits[0], axis=-1)
+
+    def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
+                     deterministic: bool = True):
+        """Training forward with in-graph per-sample losses
+        (mmformer.py:449-657). Returns the same dict as RFNet.train_losses."""
+        sg = jax.lax.stop_gradient
+        idt = self.mask_type != "pdt"
+        b = x.shape[0]
+        feats, intra, pos_all = self.encode(x, mask, deterministic=deterministic)
+
+        masks = _unimodal_mask_stack(mask) if use_passion else mask[None]
+        fuse_logits, prms, de_feats = self.fuse_path(
+            feats[:4], intra, pos_all, masks, deterministic)
+
+        sep_pred = self.decoder_sep(*feats)  # (B, 4, H, W, Z, K)
+        if idt:
+            sep_pred = mask_modalities(sep_pred, mask)
+
+        modal_gate = mask.astype(jnp.float32) if idt else jnp.ones(
+            (b, NUM_MODALS), jnp.float32)
+
+        sep_cols = [
+            losses.softmax_weighted_loss_bs(sep_pred[:, m], target, self.num_cls)
+            + losses.dice_loss_bs(sep_pred[:, m], target, self.num_cls)
+            for m in range(NUM_MODALS)
+        ]
+        sep_loss = jnp.concatenate(sep_cols, axis=1) * modal_gate
+
+        prm_loss = jnp.zeros((b, 1), jnp.float32)
+        for k, (w, up) in enumerate(zip(self.PRM_WEIGHTS, self.PRM_UPSCALES)):
+            p = jax.nn.softmax(prms[k][0], axis=-1)
+            prm_loss = prm_loss + w * (
+                losses.softmax_weighted_loss_bs(p, target, self.num_cls, up_scale=up)
+                + losses.dice_loss_bs(p, target, self.num_cls, up_scale=up)
+            )
+
+        if not use_passion:
+            zeros = jnp.zeros((b, NUM_MODALS), jnp.float32)
+            return dict(
+                fuse_pred=jax.nn.softmax(fuse_logits[0], axis=-1),
+                prm_loss=prm_loss, sep_loss=sep_loss,
+                kl_loss=zeros, proto_loss=zeros, dist=zeros,
+            )
+
+        kl_cols, proto_cols, dist_cols = [], [], []
+        teacher_fuse = sg(fuse_logits[0])
+        teacher_feat = sg(de_feats[0][0])
+        for m in range(NUM_MODALS):
+            kl = losses.temp_kl_loss_bs(
+                fuse_logits[m + 1], teacher_fuse, target, self.num_cls, temp)
+            for k, (w, up) in enumerate(zip(self.PRM_WEIGHTS, self.PRM_UPSCALES)):
+                kl = kl + w * losses.temp_kl_loss_bs(
+                    prms[k][m + 1], sg(prms[k][0]), target, self.num_cls, temp,
+                    up_scale=up)
+            proto, dist = losses.prototype_passion_loss_bs(
+                de_feats[0][m + 1], teacher_feat, target,
+                fuse_logits[m + 1], teacher_fuse, self.num_cls, temp)
+            kl_cols.append(kl)
+            proto_cols.append(proto)
+            dist_cols.append(dist)
+
+        kl_loss = jnp.concatenate(kl_cols, axis=1) * modal_gate
+        proto_loss = jnp.concatenate(proto_cols, axis=1) * modal_gate
+        dist = jnp.concatenate(dist_cols, axis=1) * modal_gate
+
+        return dict(
+            fuse_pred=jax.nn.softmax(fuse_logits[0], axis=-1),
+            prm_loss=prm_loss, sep_loss=sep_loss,
+            kl_loss=kl_loss, proto_loss=proto_loss, dist=dist,
+        )
+
+
+Model = MMFormer
