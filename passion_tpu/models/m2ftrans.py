@@ -1,0 +1,348 @@
+"""M2FTrans: masked-attention fusion transformer, TPU-native rebuild of
+code/models/m2ftrans.py.
+
+Architecture (reference m2ftrans.py:63-241,399-460,473-566): five-stage conv
+encoders per modality; a *Bottleneck* — 4xT modality tokens concatenated with
+T learnable fusion tokens through a depth-3 MaskedTransformer whose attention
+is block-masked so fusion tokens see only PRESENT modalities and modality
+tokens attend within-modality (models/mask.py:5-22, rebuilt as a traced bias
+in ops/attn_mask.py); *Weight_Attention* — the first transformer layer's
+fusion-row attention converted to per-modality spatial weight maps, upsampled
+x2 (nearest) to modulate all 5 skip levels; *Decoder_fusion* — MultiCrossToken
+channel cross-attention fusion at the two deepest scales, fusion_postnorm at
+the shallow scales, prm_fusion deep-supervision heads at all 5 scales.
+
+TPU-first: per-modality encoders are one nn.vmap-lifted encoder; the PASSION
+training forward's 5 Bottleneck+WeightAttention+decoder passes
+(m2ftrans.py:547,588-643) are one vmapped pass over a stacked (5, B, 4) mask
+axis with tied params.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from passion_tpu import losses
+from passion_tpu.models.layers import (
+    Conv3d,
+    FusionPostNorm,
+    GeneralConv3d,
+    MaskedTransformer,
+    MultiCrossToken,
+    PRMFusion,
+    mask_modalities,
+)
+from passion_tpu.models.rfnet import _unimodal_mask_stack
+from passion_tpu.ops.resize import upsample_nearest, upsample_trilinear
+
+NUM_MODALS = 4
+MLP_DIM = 4096
+NUM_HEADS = 8
+DEPTH = 3
+
+
+class Encoder(nn.Module):
+    """5-stage post-norm conv encoder, dims c..16c (m2ftrans.py:63-103)."""
+
+    basic_dims: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.basic_dims
+        x1 = GeneralConv3d(c, name="e1_c1")(x)
+        x1 = x1 + GeneralConv3d(c, name="e1_c3")(GeneralConv3d(c, name="e1_c2")(x1))
+        outs = [x1]
+        for i, mult in enumerate((2, 4, 8, 16), start=2):
+            xi = GeneralConv3d(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
+            xi = xi + GeneralConv3d(c * mult, name=f"e{i}_c3")(
+                GeneralConv3d(c * mult, name=f"e{i}_c2")(xi))
+            outs.append(xi)
+        return tuple(outs)
+
+
+class DecoderSep(nn.Module):
+    """Shared 5-scale per-modality decoder -> softmax (m2ftrans.py:105-153)."""
+
+    num_cls: int = 4
+    basic_dims: int = 8
+
+    @nn.compact
+    def __call__(self, x1, x2, x3, x4, x5):
+        c = self.basic_dims
+        de = GeneralConv3d(c * 8, name="d4_c1")(upsample_trilinear(x5, 2))
+        de = GeneralConv3d(c * 8, k_size=1, padding=0, name="d4_out")(
+            GeneralConv3d(c * 8, name="d4_c2")(jnp.concatenate([de, x4], axis=-1)))
+        de = GeneralConv3d(c * 4, name="d3_c1")(upsample_trilinear(de, 2))
+        de = GeneralConv3d(c * 4, k_size=1, padding=0, name="d3_out")(
+            GeneralConv3d(c * 4, name="d3_c2")(jnp.concatenate([de, x3], axis=-1)))
+        de = GeneralConv3d(c * 2, name="d2_c1")(upsample_trilinear(de, 2))
+        de = GeneralConv3d(c * 2, k_size=1, padding=0, name="d2_out")(
+            GeneralConv3d(c * 2, name="d2_c2")(jnp.concatenate([de, x2], axis=-1)))
+        de = GeneralConv3d(c, name="d1_c1")(upsample_trilinear(de, 2))
+        de = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
+            GeneralConv3d(c, name="d1_c2")(jnp.concatenate([de, x1], axis=-1)))
+        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de)
+        return jax.nn.softmax(logits, axis=-1)
+
+
+class DecoderFusion(nn.Module):
+    """Fusion decoder with cross-token fusion at deep scales
+    (m2ftrans.py:156-241).
+
+    Args:
+      wx1..wx5: weight-attention-modulated stacked features (B, 4, ..., C_k);
+      fusion: transformed fusion-token volume (B, s, s, s, 16c);
+      mask: (B, 4) per-pass modality mask.
+    Returns (logits, (prm1..prm5), (de_x1..de_x5)).
+    """
+
+    num_cls: int = 4
+    basic_dims: int = 8
+
+    @nn.compact
+    def __call__(self, wx1, wx2, wx3, wx4, wx5, fusion, mask,
+                 deterministic: bool = True):
+        c = self.basic_dims
+
+        prm5 = PRMFusion(self.num_cls, name="prm_fusion5")(fusion)
+        de_x5 = MultiCrossToken(name="CT5")(wx5, fusion, mask,
+                                            deterministic=deterministic)
+        de_x5 = jnp.concatenate([de_x5, fusion], axis=-1)
+        de_x5 = GeneralConv3d(c * 16, k_size=1, padding=0, name="d5_out")(
+            GeneralConv3d(c * 16, name="d5_c2")(de_x5))
+        de_x5 = GeneralConv3d(c * 8, name="d4_c1")(upsample_trilinear(de_x5, 2))
+
+        prm4 = PRMFusion(self.num_cls, name="prm_fusion4")(de_x5)
+        de_x4 = MultiCrossToken(name="CT4")(wx4, de_x5, mask,
+                                            deterministic=deterministic)
+        de_x4 = jnp.concatenate([de_x4, de_x5], axis=-1)
+        de_x4 = GeneralConv3d(c * 8, k_size=1, padding=0, name="d4_out")(
+            GeneralConv3d(c * 8, name="d4_c2")(de_x4))
+        de_x4 = GeneralConv3d(c * 4, name="d3_c1")(upsample_trilinear(de_x4, 2))
+
+        prm3 = PRMFusion(self.num_cls, name="prm_fusion3")(de_x4)
+        de_x3 = FusionPostNorm(c * 4, name="RFM3")(wx3, mask)
+        de_x3 = jnp.concatenate([de_x3, de_x4], axis=-1)
+        de_x3 = GeneralConv3d(c * 4, k_size=1, padding=0, name="d3_out")(
+            GeneralConv3d(c * 4, name="d3_c2")(de_x3))
+        de_x3 = GeneralConv3d(c * 2, name="d2_c1")(upsample_trilinear(de_x3, 2))
+
+        prm2 = PRMFusion(self.num_cls, name="prm_fusion2")(de_x3)
+        de_x2 = FusionPostNorm(c * 2, name="RFM2")(wx2, mask)
+        de_x2 = jnp.concatenate([de_x2, de_x3], axis=-1)
+        de_x2 = GeneralConv3d(c * 2, k_size=1, padding=0, name="d2_out")(
+            GeneralConv3d(c * 2, name="d2_c2")(de_x2))
+        de_x2 = GeneralConv3d(c, name="d1_c1")(upsample_trilinear(de_x2, 2))
+
+        prm1 = PRMFusion(self.num_cls, name="prm_fusion1")(de_x2)
+        de_x1 = FusionPostNorm(c, name="RFM1")(wx1, mask)
+        de_x1 = jnp.concatenate([de_x1, de_x2], axis=-1)
+        de_x1 = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
+            GeneralConv3d(c, name="d1_c2")(de_x1))
+
+        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de_x1)
+        return logits, (prm1, prm2, prm3, prm4, prm5), (
+            de_x1, de_x2, de_x3, de_x4, de_x5)
+
+
+def _weight_maps(attn0, s):
+    """Fusion-row attention -> per-modality spatial weights
+    (m2ftrans.py:436-443).
+
+    attn0: (B, heads, 5T, 5T) first-layer attention (already stop-gradiented).
+    Returns (B, 4, s, s, s, 1): per modality, total attention its token at
+    each voxel receives from all fusion tokens and heads.
+    """
+    t = s ** 3
+    fusion_rows = attn0[:, :, NUM_MODALS * t:, :]  # (B, H, T, 5T)
+    per_mod = jnp.sum(fusion_rows, axis=(1, 2))  # (B, 5T)
+    maps = per_mod[:, : NUM_MODALS * t].reshape(
+        attn0.shape[0], NUM_MODALS, s, s, s)
+    return maps[..., None]
+
+
+class FusePath(nn.Module):
+    """Bottleneck + Weight_Attention + fusion decoder for ONE modality mask.
+
+    Vmapped over a stacked mask axis with tied params to realize the
+    reference's 5 sequential passes (m2ftrans.py:547,588-643) as one batched
+    computation.
+    """
+
+    num_cls: int = 4
+    basic_dims: int = 8
+    heads: int = NUM_HEADS
+    mlp_dim: int = MLP_DIM
+    depth: int = DEPTH
+
+    @nn.compact
+    def __call__(self, feats, fusion_tokens, pos, mask,
+                 deterministic: bool = True):
+        """feats: tuple of 5 stacked (B,4,...,C_k); fusion_tokens: (B,T,16c);
+        pos: (1, 5T, 16c); mask: (B, 4)."""
+        c = self.basic_dims
+        x5 = feats[4]  # (B, 4, s, s, s, 16c)
+        b, _, s = x5.shape[:3]
+        t = s ** 3
+        embed = x5.reshape(b, NUM_MODALS, t, c * 16).reshape(
+            b, NUM_MODALS * t, c * 16)
+        tokens = jnp.concatenate([embed, fusion_tokens], axis=1) + pos
+        tokens, attn_list = MaskedTransformer(
+            self.depth, self.heads, self.mlp_dim, name="trans_bottle")(
+            tokens, mask, deterministic)
+
+        chunks = tokens.reshape(b, NUM_MODALS + 1, t, c * 16)
+        modal_tra = chunks[:, :NUM_MODALS].reshape(
+            b, NUM_MODALS, s, s, s, c * 16)
+        fusion_tra = chunks[:, NUM_MODALS].reshape(b, s, s, s, c * 16)
+
+        # Weight_Attention (m2ftrans.py:420-460): nearest x2 between scales.
+        w = _weight_maps(attn_list[0], s)  # (B, 4, s, s, s, 1)
+        wx5 = modal_tra * w
+        ws = [w]
+        for _ in range(4):
+            w = jax.vmap(upsample_nearest, in_axes=1, out_axes=1)(ws[-1])
+            ws.append(w)
+        wx4 = feats[3] * ws[1]
+        wx3 = feats[2] * ws[2]
+        wx2 = feats[1] * ws[3]
+        wx1 = feats[0] * ws[4]
+
+        return DecoderFusion(self.num_cls, self.basic_dims,
+                             name="decoder_fusion")(
+            wx1, wx2, wx3, wx4, wx5, fusion_tra, mask, deterministic)
+
+
+class M2FTrans(nn.Module):
+    """M2FTrans backbone with PASSION training outputs (m2ftrans.py:473-771)."""
+
+    num_cls: int = 4
+    basic_dims: int = 8
+    mask_type: str = "idt"
+    patch_size: int = 80  # bottleneck tokens = (ps/16)^3
+    heads: int = NUM_HEADS
+    mlp_dim: int = MLP_DIM
+    depth: int = DEPTH
+
+    # Deep supervision at full..1/16 resolution (m2ftrans.py:499-504,652-656).
+    PRM_WEIGHTS = (0.5, 0.25, 0.125, 0.0625, 0.03125)
+    PRM_UPSCALES = (1, 2, 4, 8, 16)
+
+    def setup(self):
+        e = self.basic_dims * 16
+        t = (self.patch_size // 16) ** 3
+        self.encoders = nn.vmap(
+            Encoder, in_axes=1, out_axes=1,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+        )(self.basic_dims, name="encoders")
+        self.decoder_sep = nn.vmap(
+            DecoderSep, in_axes=(1, 1, 1, 1, 1), out_axes=1,
+            variable_axes={"params": None}, split_rngs={"params": False},
+        )(self.num_cls, self.basic_dims, name="decoder_sep")
+        self.fuse_path = nn.vmap(
+            FusePath,
+            in_axes=(None, None, None, 0, None), out_axes=0,
+            variable_axes={"params": None},
+            split_rngs={"params": False, "dropout": True},
+        )(self.num_cls, self.basic_dims, self.heads, self.mlp_dim,
+          self.depth, name="fuse_path")
+        # pos zero-init; fusion tokens ~ N(0,1) (m2ftrans.py:491-492)
+        self.pos = self.param("pos", nn.initializers.zeros,
+                              (1, t * (NUM_MODALS + 1), e))
+        self.fusion = self.param(
+            "fusion", nn.initializers.normal(stddev=1.0), (1, t, e))
+
+    def encode(self, x, mask):
+        idt = self.mask_type != "pdt"
+        if idt:
+            x = x * mask.astype(x.dtype)[:, None, None, None, :]
+        xm = jnp.moveaxis(x[..., None], 4, 1)
+        feats = self.encoders(xm)
+        if idt:
+            feats = tuple(mask_modalities(f, mask) for f in feats)
+        return feats
+
+    def _fusion_tokens(self, b):
+        return jnp.broadcast_to(self.fusion, (b,) + self.fusion.shape[1:])
+
+    def __call__(self, x, mask, deterministic: bool = True):
+        feats = self.encode(x, mask)
+        logits, _, _ = self.fuse_path(
+            feats, self._fusion_tokens(x.shape[0]), self.pos, mask[None],
+            deterministic)
+        return jax.nn.softmax(logits[0], axis=-1)
+
+    def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
+                     deterministic: bool = True):
+        """Training forward with in-graph per-sample losses
+        (m2ftrans.py:568-769). Returns the same dict as RFNet.train_losses."""
+        sg = jax.lax.stop_gradient
+        idt = self.mask_type != "pdt"
+        b = x.shape[0]
+        feats = self.encode(x, mask)
+
+        masks = _unimodal_mask_stack(mask) if use_passion else mask[None]
+        fuse_logits, prms, de_feats = self.fuse_path(
+            feats, self._fusion_tokens(b), self.pos, masks, deterministic)
+
+        sep_pred = self.decoder_sep(*feats)
+        if idt:
+            sep_pred = mask_modalities(sep_pred, mask)
+
+        modal_gate = mask.astype(jnp.float32) if idt else jnp.ones(
+            (b, NUM_MODALS), jnp.float32)
+
+        sep_cols = [
+            losses.softmax_weighted_loss_bs(sep_pred[:, m], target, self.num_cls)
+            + losses.dice_loss_bs(sep_pred[:, m], target, self.num_cls)
+            for m in range(NUM_MODALS)
+        ]
+        sep_loss = jnp.concatenate(sep_cols, axis=1) * modal_gate
+
+        prm_loss = jnp.zeros((b, 1), jnp.float32)
+        for k, (w, up) in enumerate(zip(self.PRM_WEIGHTS, self.PRM_UPSCALES)):
+            p = jax.nn.softmax(prms[k][0], axis=-1)
+            prm_loss = prm_loss + w * (
+                losses.softmax_weighted_loss_bs(p, target, self.num_cls, up_scale=up)
+                + losses.dice_loss_bs(p, target, self.num_cls, up_scale=up)
+            )
+
+        if not use_passion:
+            zeros = jnp.zeros((b, NUM_MODALS), jnp.float32)
+            return dict(
+                fuse_pred=jax.nn.softmax(fuse_logits[0], axis=-1),
+                prm_loss=prm_loss, sep_loss=sep_loss,
+                kl_loss=zeros, proto_loss=zeros, dist=zeros,
+            )
+
+        kl_cols, proto_cols, dist_cols = [], [], []
+        teacher_fuse = sg(fuse_logits[0])
+        teacher_feat = sg(de_feats[0][0])
+        for m in range(NUM_MODALS):
+            kl = losses.temp_kl_loss_bs(
+                fuse_logits[m + 1], teacher_fuse, target, self.num_cls, temp)
+            for k, (w, up) in enumerate(zip(self.PRM_WEIGHTS, self.PRM_UPSCALES)):
+                kl = kl + w * losses.temp_kl_loss_bs(
+                    prms[k][m + 1], sg(prms[k][0]), target, self.num_cls, temp,
+                    up_scale=up)
+            proto, dist = losses.prototype_passion_loss_bs(
+                de_feats[0][m + 1], teacher_feat, target,
+                fuse_logits[m + 1], teacher_fuse, self.num_cls, temp)
+            kl_cols.append(kl)
+            proto_cols.append(proto)
+            dist_cols.append(dist)
+
+        kl_loss = jnp.concatenate(kl_cols, axis=1) * modal_gate
+        proto_loss = jnp.concatenate(proto_cols, axis=1) * modal_gate
+        dist = jnp.concatenate(dist_cols, axis=1) * modal_gate
+
+        return dict(
+            fuse_pred=jax.nn.softmax(fuse_logits[0], axis=-1),
+            prm_loss=prm_loss, sep_loss=sep_loss,
+            kl_loss=kl_loss, proto_loss=proto_loss, dist=dist,
+        )
+
+
+Model = M2FTrans
