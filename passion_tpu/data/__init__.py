@@ -1,0 +1,9 @@
+"""Data layer: transforms, datasets, loader, preprocessing, synthetic data."""
+
+from passion_tpu.data.datasets import (  # noqa: F401
+    BratsTest,
+    BratsTrainIDT,
+    BratsTrainPDT,
+    BratsVal,
+)
+from passion_tpu.data.loader import PrefetchLoader  # noqa: F401

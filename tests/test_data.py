@@ -1,0 +1,149 @@
+"""Data layer: transforms, synthetic dataset round-trip, loader, imb-MR CSV."""
+
+import ast
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from passion_tpu.data import transforms as T
+from passion_tpu.data.datasets import BratsTest, BratsTrainIDT, BratsTrainPDT
+from passion_tpu.data.loader import PrefetchLoader
+from passion_tpu.data.preprocess import generate_imb_mr, normalize, crop_bounds
+from passion_tpu.data.synth import make_synthetic_dataset
+from passion_tpu.masks import MASK_ARRAY, sub_combination_ids
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    make_synthetic_dataset(str(root), n_cases=5, shape=(64, 64, 48), seed=3)
+    return str(root)
+
+
+def test_train_transform_pipeline(rng):
+    tf = T.from_string(
+        "Compose([RandCrop3D((32,32,32)), RandomRotion(10), "
+        "RandomIntensityChange((0.1,0.1)), RandomFlip(0), "
+        "NumpyType((np.float32, np.int64)),])")
+    x = rng.standard_normal((1, 48, 50, 40, 4)).astype(np.float32)
+    y = rng.integers(0, 4, size=(1, 48, 50, 40))
+    xo, yo = tf([x, y], rng)
+    assert xo.shape == (1, 32, 32, 32, 4) and xo.dtype == np.float32
+    assert yo.shape == (1, 32, 32, 32) and yo.dtype == np.int64
+
+
+def test_geometric_transforms_consistent_between_img_and_label(rng):
+    """Crop/rotate/flip must use the SAME randomness for image and label."""
+    tf = T.Compose([T.RandCrop3D((16, 16, 16)), T.RandomRotion(10),
+                    T.RandomFlip(0)])
+    y = rng.integers(0, 4, size=(1, 32, 32, 32)).astype(np.float32)
+    x = np.repeat(y[..., None], 4, axis=-1)  # image IS the label, per channel
+    xo, yo = tf([x, y], rng)
+    for c in range(4):
+        np.testing.assert_array_equal(xo[..., c], yo)
+
+
+def test_intensity_change_image_only(rng):
+    tf = T.RandomIntensityChange((0.1, 0.1))
+    x = np.ones((1, 8, 8, 8, 4), np.float32)
+    y = np.ones((1, 8, 8, 8), np.float32)
+    xo, yo = tf([x, y], rng)
+    assert not np.allclose(xo, x)
+    np.testing.assert_array_equal(yo, y)
+
+
+def test_crop_bounds_and_normalize():
+    vol = np.zeros((4, 160, 160, 160), np.float32)
+    vol[:, 20:100, 30:110, 40:120] = (
+        1.0 + np.arange(4)[:, None, None, None]
+        + np.random.default_rng(0).random((4, 80, 80, 80), np.float32))
+    bounds = crop_bounds(vol, min_size=128)
+    for lo, hi in bounds:
+        assert hi - lo >= 128
+    normed = normalize(vol.copy())
+    mask = vol.sum(0) > 0
+    for k in range(4):
+        np.testing.assert_allclose(normed[k][mask].mean(), 0.0, atol=1e-5)
+        np.testing.assert_allclose(normed[k][mask].std(), 1.0, atol=1e-4)
+
+
+def test_synth_dataset_roundtrip(synth_root, rng):
+    ds = BratsTrainPDT(transforms="Compose([RandCrop3D((32,32,32)), "
+                                  "NumpyType((np.float32, np.int64)),])",
+                       root=synth_root, num_cls=4)
+    item = ds.get(0, rng)
+    assert item["x"].shape == (32, 32, 32, 4)
+    assert item["target"].shape == (32, 32, 32, 4)
+    assert item["mask"].shape == (4,) and item["mask"].any()
+    np.testing.assert_allclose(item["target"].sum(-1), 1.0)
+
+    test_ds = BratsTest(transforms="Compose([NumpyType((np.float32, "
+                                   "np.int64)),])", root=synth_root)
+    t = test_ds.get(0)
+    assert t["x"].shape == (64, 64, 48, 4)
+    assert t["target"].shape == (64, 64, 48)
+
+
+def test_idt_dataset_and_modal_counts(synth_root):
+    csv_path = os.path.join(synth_root, "imb_split.csv")
+    ds = BratsTrainIDT(transforms="Compose([RandCrop3D((32,32,32)), "
+                                  "NumpyType((np.float32, np.int64)),])",
+                       root=synth_root, mask_type="idt", train_file=csv_path)
+    rng = np.random.default_rng(0)
+    for i in range(len(ds)):
+        item = ds.get(i, rng)
+        # idt: mask is FIXED per sample, equal to the CSV row's mask
+        np.testing.assert_array_equal(item["mask"],
+                                      MASK_ARRAY[ds.mask_ids[i]])
+    counts = ds.modal_counts()
+    assert counts.shape == (4,) and counts.sum() > 0
+
+    drop = BratsTrainIDT(transforms="", root=synth_root,
+                         mask_type="idt_drop", train_file=csv_path)
+    item = drop.get(0, rng)
+    # idt_drop mask must be a sub-combination of the assigned mask
+    assigned = np.array(drop.sample_masks[0])
+    assert not (item["mask"] & ~assigned).any()
+
+
+def test_generate_imb_mr_structure(tmp_path):
+    names = [f"C{i:03d}" for i in range(50)]
+    csv_path = str(tmp_path / "split.csv")
+    counts = generate_imb_mr(names, csv_path, p=(0.2, 0.4, 0.6, 0.8), seed=7)
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 50
+    for r in rows:
+        mask = ast.literal_eval(r["mask"])
+        assert any(mask), "all-missing row"
+        mid = int(r["mask_id"])
+        np.testing.assert_array_equal(MASK_ARRAY[mid], mask)
+        assert ast.literal_eval(r["pos_mask_ids"]) == sub_combination_ids(mask)
+    # imbalance direction: p = (t1, t1c, flair, t2) missing -> t1 most present
+    # counts are (flair, t1ce, t1, t2)
+    assert counts[2] > counts[1] > counts[0] > counts[3]
+
+
+def test_loader_batches_and_determinism(synth_root):
+    ds = BratsTrainPDT(transforms="Compose([RandCrop3D((16,16,16)), "
+                                  "NumpyType((np.float32, np.int64)),])",
+                       root=synth_root, num_cls=4)
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=11,
+                            num_threads=2)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    assert batches[0]["x"].shape == (2, 16, 16, 16, 4)
+    assert batches[0]["mask"].shape == (2, 4)
+
+    loader2 = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=11,
+                             num_threads=4)
+    batches2 = list(loader2)
+    # same seed + epoch -> identical batches regardless of thread count
+    np.testing.assert_array_equal(batches[0]["x"], batches2[0]["x"])
+    np.testing.assert_array_equal(batches[0]["mask"], batches2[0]["mask"])
+    # next epoch shuffles differently
+    batches3 = list(loader2)
+    assert not all(b1["name"] == b3["name"]
+                   for b1, b3 in zip(batches2, batches3))
