@@ -1,0 +1,141 @@
+"""Batched sliding-window inference engine.
+
+The reference evaluates each test case with a Python triple loop of ~75
+single-window forward passes (utils/predict.py:182-215) — 112,500 forwards
+per full 15-mask sweep. The TPU rebuild keeps the EXACT window protocol
+(50%-overlap starts + tail window flush with the far edge, identical
+coverage-weighted averaging) but executes it as device-wide batches:
+
+  * window start coordinates are precomputed on the host (same lists as
+    predict.py:182-195);
+  * the volume is zero-padded up to a spatial bucket (multiple of
+    `spatial_bucket`) so XLA compiles once per bucket, not once per case
+    shape; window coords always address the true extent, so padding never
+    changes any window's content;
+  * windows are gathered with `lax.dynamic_slice` in chunks of
+    `window_batch`, run through ONE jitted batched forward, and
+    scatter-added (softmax probs + coverage weight) on device — no
+    host<->device round-trips inside a case;
+  * chunk-padding windows carry a validity weight of 0 so duplicates never
+    double-count.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_starts(extent: int, patch: int) -> list[int]:
+    """50%-overlap start indices + tail window (predict.py:182-195)."""
+    stride = int(patch * 0.5)
+    cnt = int(np.ceil((extent - patch) / stride))
+    starts = [i * stride for i in range(cnt)]
+    starts.append(extent - patch)
+    return starts
+
+
+def window_coords(shape, patch: int) -> np.ndarray:
+    """(N, 3) int32 window origins for an (H, W, Z) extent."""
+    hs = window_starts(shape[0], patch)
+    ws = window_starts(shape[1], patch)
+    zs = window_starts(shape[2], patch)
+    coords = [(h, w, z) for h in hs for w in ws for z in zs]
+    return np.asarray(coords, dtype=np.int32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SlidingWindowInference:
+    """Batched sliding-window evaluator around a jittable window forward.
+
+    Args:
+      apply_fn: (params, windows (wb, p, p, p, 4), mask (wb, 4)) -> softmax
+        probs (wb, p, p, p, C). Typically `model.apply`.
+      num_cls: output classes.
+      patch: window edge (reference patch_size=80, predict.py:21).
+      window_batch: windows per device batch.
+      spatial_bucket: pad volumes up to multiples of this per axis to bound
+        the number of XLA compilations across differently-cropped cases.
+    """
+
+    def __init__(self, apply_fn, num_cls: int = 4, patch: int = 80,
+                 window_batch: int = 8, spatial_bucket: int = 16):
+        self.apply_fn = apply_fn
+        self.num_cls = num_cls
+        self.patch = patch
+        self.window_batch = window_batch
+        self.spatial_bucket = spatial_bucket
+        self._jitted = jax.jit(self._run)
+
+    def _run(self, params, xpad, coords, valid, mask):
+        """xpad: (Hp, Wp, Zp, 4); coords: (Nc, wb, 3) int32;
+        valid: (Nc, wb) float32; mask: (4,) bool."""
+        p, c = self.patch, self.num_cls
+        wb = coords.shape[1]
+        acc = jnp.zeros(xpad.shape[:3] + (c,), jnp.float32)
+        wgt = jnp.zeros(xpad.shape[:3] + (1,), jnp.float32)
+        mask_b = jnp.broadcast_to(mask[None], (wb, mask.shape[0]))
+        ones = jnp.ones((p, p, p, 1), jnp.float32)
+
+        def gather(cc):
+            return jax.lax.dynamic_slice(
+                xpad, (cc[0], cc[1], cc[2], 0), (p, p, p, xpad.shape[3]))
+
+        def chunk_step(carry, inp):
+            acc, wgt = carry
+            cs, vs = inp
+            wins = jax.vmap(gather)(cs)
+            probs = self.apply_fn(params, wins, mask_b).astype(jnp.float32)
+            probs = probs * vs[:, None, None, None, None]
+
+            def add_one(i, aw):
+                a, wg = aw
+                at = (cs[i, 0], cs[i, 1], cs[i, 2], 0)
+                cur = jax.lax.dynamic_slice(a, at, (p, p, p, c))
+                a = jax.lax.dynamic_update_slice(a, cur + probs[i], at)
+                curw = jax.lax.dynamic_slice(wg, at, (p, p, p, 1))
+                wg = jax.lax.dynamic_update_slice(
+                    wg, curw + vs[i] * ones, at)
+                return a, wg
+
+            acc, wgt = jax.lax.fori_loop(0, wb, add_one, (acc, wgt))
+            return (acc, wgt), None
+
+        (acc, wgt), _ = jax.lax.scan(chunk_step, (acc, wgt), (coords, valid))
+        return acc / jnp.maximum(wgt, 1e-8)
+
+    def __call__(self, params, x, mask):
+        """x: (H, W, Z, 4) volume; mask: (4,) bool. Returns (H, W, Z, C)
+        coverage-averaged softmax probabilities (predict.py:198-215)."""
+        x = np.asarray(x)
+        h, w, z, _ = x.shape
+        coords = window_coords((h, w, z), self.patch)
+        n = coords.shape[0]
+        n_pad = _round_up(n, self.window_batch)
+        valid = np.zeros((n_pad,), np.float32)
+        valid[:n] = 1.0
+        coords_pad = np.zeros((n_pad, 3), np.int32)
+        coords_pad[:n] = coords
+
+        hp = _round_up(h, self.spatial_bucket)
+        wp = _round_up(w, self.spatial_bucket)
+        zp = _round_up(z, self.spatial_bucket)
+        xpad = np.zeros((hp, wp, zp, x.shape[3]), np.float32)
+        xpad[:h, :w, :z] = x
+
+        nc = n_pad // self.window_batch
+        out = self._jitted(
+            params,
+            jnp.asarray(xpad),
+            jnp.asarray(coords_pad.reshape(nc, self.window_batch, 3)),
+            jnp.asarray(valid.reshape(nc, self.window_batch)),
+            jnp.asarray(np.asarray(mask, bool)),
+        )
+        return np.asarray(out)[:h, :w, :z]
