@@ -1,0 +1,115 @@
+"""Configuration: the reference's argparse surface (code/options.py) backed
+by a dataclass.
+
+Flag names are the public API (`--model --mask_type --use_passion --temp
+--imbmrpath ...`, options.py:4-52); transform pipelines stay declarative
+strings parsed by the restricted builder in data/transforms.py instead of
+raw eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import dataclass, field
+
+
+def train_transforms_for(patch_size: int = 80) -> str:
+    """The reference training pipeline (options.py:50) at a given crop."""
+    s = patch_size
+    return (f"Compose([RandCrop3D(({s},{s},{s})), RandomRotion(10), "
+            "RandomIntensityChange((0.1,0.1)), RandomFlip(0), "
+            "NumpyType((np.float32, np.int64)),])")
+
+
+TRAIN_TRANSFORMS = train_transforms_for(80)
+TEST_TRANSFORMS = "Compose([NumpyType((np.float32, np.int64)),])"
+
+
+@dataclass
+class TrainConfig:
+    model: str = "mmformer"
+    batch_size: int = 1
+    lr: float = 2e-4
+    weight_decay: float = 1e-4
+    num_epochs: int = 300
+    temp: float = 4.0
+    region_fusion_start_epoch: int = 0
+    seed: int = 1037
+    gpu: str = ""  # accepted for CLI parity; device selection is JAX-side
+    mask_type: str = "idt"  # pdt | idt | idt_drop
+    use_pretrain: bool = False
+    use_passion: bool = False
+    use_valid: bool = False
+    dataname: str = "BraTS/BRATS2020"
+    datapath: str = "BraTS/BRATS2020_Training_none_npy"
+    imbmrpath: str = "BraTS/brats_split/Brats2020_imb_split_mr2468.csv"
+    savepath: str = "outputs/run"
+    resume: str | None = None
+    dataroot: str | None = None
+    # TPU-build extras (defaults match the reference's hardcoded values)
+    patch_size: int = 80
+    num_cls: int = 4
+    window_batch: int = 8
+    num_workers: int = 8
+    iters_per_epoch: int | None = None  # cap for smoke runs
+    train_transforms: str = ""
+    test_transforms: str = TEST_TRANSFORMS
+
+    def __post_init__(self):
+        if not self.train_transforms:
+            self.train_transforms = train_transforms_for(self.patch_size)
+
+    @property
+    def dataroot_path(self) -> str:
+        if self.dataroot:
+            return os.path.abspath(self.dataroot)
+        return os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                            "..", "datasets"))
+
+    @property
+    def dataset_path(self) -> str:
+        return os.path.abspath(os.path.join(self.dataroot_path, self.datapath))
+
+    @property
+    def imbmr_path(self) -> str:
+        if os.path.isabs(self.imbmrpath):
+            return self.imbmrpath
+        return os.path.join(self.dataroot_path, self.imbmrpath)
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    d = TrainConfig()
+    p.add_argument("--model", default=d.model, type=str)
+    p.add_argument("-batch_size", "--batch_size", default=d.batch_size, type=int)
+    p.add_argument("--lr", default=d.lr, type=float)
+    p.add_argument("--weight_decay", default=d.weight_decay, type=float)
+    p.add_argument("--num_epochs", default=d.num_epochs, type=int)
+    p.add_argument("--temp", default=d.temp, type=float)
+    p.add_argument("--region_fusion_start_epoch",
+                   default=d.region_fusion_start_epoch, type=int)
+    p.add_argument("--seed", default=d.seed, type=int)
+    p.add_argument("--gpu", default=d.gpu, type=str)
+    p.add_argument("--mask_type", default=d.mask_type, type=str)
+    p.add_argument("--use_pretrain", action="store_true")
+    p.add_argument("--use_passion", action="store_true")
+    p.add_argument("--use_valid", action="store_true")
+    p.add_argument("--dataname", default=d.dataname, type=str)
+    p.add_argument("--datapath", default=d.datapath, type=str)
+    p.add_argument("--imbmrpath", default=d.imbmrpath, type=str)
+    p.add_argument("--savepath", default=d.savepath, type=str)
+    p.add_argument("--resume", default=None, type=str)
+    p.add_argument("--dataroot", default=None, type=str,
+                   help="dataset root (default: ../datasets next to package)")
+    p.add_argument("--patch_size", default=d.patch_size, type=int)
+    p.add_argument("--window_batch", default=d.window_batch, type=int)
+    p.add_argument("--num_workers", default=d.num_workers, type=int)
+    p.add_argument("--iters_per_epoch", default=None, type=int)
+
+
+def parse_config(argv=None) -> TrainConfig:
+    p = argparse.ArgumentParser()
+    add_common_args(p)
+    ns = p.parse_args(argv)
+    return TrainConfig(**{k: v for k, v in vars(ns).items()
+                          if k in TrainConfig.__dataclass_fields__})

@@ -1,0 +1,316 @@
+"""PASSION training: one jitted train step + the epoch loop.
+
+The reference splits the computation between `Model.forward` (per-sample
+losses on each DataParallel replica) and the driver (re-weighting, preference
+gating, optimizer) — train.py:198-335. Here the ENTIRE iteration is one
+XLA-compiled step:
+
+  * model forward with the 5 vmapped decoder passes and per-sample losses;
+  * fuse loss on the fused softmax prediction (train.py:228-229);
+  * per-modality loss sums gated by the batch modality mask (train.py:260-263);
+  * the task-wise preference gate rp_mask = rp_iter > 0 from the batch's
+    prototype distances (train.py:265-268) — computed in-graph;
+  * the PASSION loss combination with the warmup branch (train.py:274-280):
+      warmup: loss = sum(beta * w * sep_m)
+      else:   loss = fuse + sum(rp_mask * beta * w * sep_m) + prm
+                    + 0.5 * sum(beta * w * kl_m)
+                    + 0.1 * sum(rp_mask * w * proto_m)
+  * AdamW(amsgrad) update.
+
+Host state that changes per EPOCH stays on the host and is fed in as step
+arguments, exactly mirroring the reference: the gradient-wise preference
+vector `imb_beta` (train.py:325-335), the IDT inverse-frequency weights
+`modal_weight` (train.py:163-171), and the learning rate (poly schedule).
+
+NaN-faithfulness note: for an IDT sample whose mask is a single modality the
+teacher and student passes coincide, so its prototype distance row is all
+zeros and the reference's `dist/dist_avg` is 0/0 = NaN, which makes
+`rp_mask = (rp_iter > 0)` all-False for the iteration (NaN > 0 is False in
+torch and JAX alike). We reproduce that behavior rather than "fixing" it.
+
+Data parallelism: the step is pure jit over batch-sharded inputs; with a
+`jax.sharding.Mesh` over a 'data' axis the same compiled step scales from one
+chip to a slice — XLA inserts the gradient psums (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from passion_tpu import losses
+from passion_tpu.engine import checkpoint as ckpt
+from passion_tpu.engine.schedule import lr_at_epoch, make_optimizer, set_learning_rate
+
+NUM_MODALS = 4
+
+
+def make_train_step(model, tx, use_passion: bool, num_cls: int = 4,
+                    with_dropout: bool = False):
+    """Build the jitted train step.
+
+    Returns step(params, opt_state, batch, imb_beta, modal_weight, temp, key,
+    warmup) -> (params, opt_state, metrics). `warmup` is static (two
+    compilations: warmup and main phase, mirroring train.py:274-280).
+    """
+    train_method = type(model).train_losses
+    idt = model.mask_type != "pdt"
+
+    @partial(jax.jit, static_argnames=("warmup",), donate_argnums=(0, 1))
+    def step(params, opt_state, batch, imb_beta, modal_weight, temp, key,
+             warmup: bool):
+        x = batch["x"]
+        target = batch["target"]
+        mask = batch["mask"]
+        mask_f = mask.astype(jnp.float32)
+
+        def loss_fn(p):
+            kw = {}
+            if with_dropout:
+                out = model.apply(p, x, mask, target, temp, use_passion,
+                                  False, method=train_method,
+                                  rngs={"dropout": key})
+            else:
+                out = model.apply(p, x, mask, target, temp, use_passion,
+                                  method=train_method, **kw)
+
+            fuse_bs = losses.fuse_loss_bs(out["fuse_pred"], target, num_cls)
+            fuse_loss = jnp.sum(fuse_bs)
+            prm_loss = jnp.sum(out["prm_loss"])
+
+            gate = mask_f if idt else jnp.ones_like(mask_f)
+            sep_m = jnp.sum(out["sep_loss"] * gate, axis=0)  # (4,)
+            kl_m = jnp.sum(out["kl_loss"] * gate, axis=0)
+            proto_m = jnp.sum(out["proto_loss"] * gate, axis=0)
+            dist_m = jnp.sum(out["dist"] * gate, axis=0)
+
+            # task-wise preference (train.py:239-242 pdt / 265-268 idt)
+            dist_bs = out["dist"]  # (B, 4)
+            if idt:
+                dist_avg = jnp.sum(dist_bs, axis=1) / jnp.sum(mask_f, axis=1)
+                rp_iter = jnp.sum(
+                    mask_f * (dist_bs / dist_avg[:, None] - 1.0), axis=0)
+            else:
+                dist_avg = jnp.mean(dist_bs, axis=1)
+                rp_iter = jnp.sum(dist_bs / dist_avg[:, None] - 1.0, axis=0)
+            rp_mask = (rp_iter > 0).astype(jnp.float32)
+
+            w = modal_weight if idt else jnp.ones((NUM_MODALS,), jnp.float32)
+            if use_passion:
+                kl_loss = jnp.sum(imb_beta * w * kl_m)
+                proto_loss = jnp.sum(rp_mask * w * proto_m)
+                if warmup:
+                    sep_loss = jnp.sum(imb_beta * w * sep_m)
+                    loss = sep_loss
+                else:
+                    sep_loss = jnp.sum(rp_mask * imb_beta * w * sep_m)
+                    loss = (fuse_loss + sep_loss + prm_loss
+                            + 0.5 * kl_loss + 0.1 * proto_loss)
+            else:
+                kl_loss = jnp.zeros(())
+                proto_loss = jnp.zeros(())
+                sep_loss = jnp.sum(sep_m)
+                loss = sep_loss if warmup else fuse_loss + sep_loss + prm_loss
+
+            metrics = dict(
+                loss=loss, fuse_loss=fuse_loss, prm_loss=prm_loss,
+                sep_loss=sep_loss, kl_loss=kl_loss, proto_loss=proto_loss,
+                sep_m=sep_m, kl_m=kl_m, proto_m=proto_m, dist_m=dist_m,
+                rp_iter=rp_iter,
+            )
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def update_imb_beta(imb_beta, eta, epoch_dist_m, epoch, warmup_epochs):
+    """Per-epoch gradient-wise preference update (train.py:325-335).
+
+    Returns (new_beta (4,), new_eta, rp_epoch (4,)).
+    """
+    epoch_dist_avg = float(np.sum(epoch_dist_m) / 4.0)
+    rp_epoch = (epoch_dist_avg - np.asarray(epoch_dist_m)) / epoch_dist_avg
+    if epoch < warmup_epochs:
+        return imb_beta, eta, rp_epoch
+    if epoch % 100 == 0:
+        eta = eta * 1.5
+    beta = np.asarray(imb_beta) - eta * rp_epoch
+    beta = np.clip(beta, 0.1, 4.0)
+    beta = 2.0 * beta / np.sqrt(np.sum(beta ** 2))
+    return beta, eta, rp_epoch
+
+
+class ScalarWriter:
+    """Minimal per-epoch scalar logger (TensorBoard-equivalent channel,
+    train.py:342-354): JSONL rows {step, tag, value} under savepath/summary."""
+
+    def __init__(self, savepath):
+        import json
+        self._json = json
+        self.path = os.path.join(savepath, "summary", "scalars.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def add_scalar(self, tag, value, global_step):
+        self._f.write(self._json.dumps(
+            {"step": int(global_step), "tag": tag, "value": float(value)}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def fit(model, train_loader, cfg, modal_num=None, writer=None,
+        init_params_fn=None, mesh=None):
+    """The PASSION epoch loop (train.py:177-373).
+
+    Args:
+      model: backbone flax module (mask_type set).
+      train_loader: PrefetchLoader over a training dataset.
+      cfg: TrainConfig-like object (lr, weight_decay, num_epochs, temp,
+        region_fusion_start_epoch, use_passion, mask_type, savepath, seed,
+        resume, use_pretrain).
+      modal_num: (4,) per-modality present counts from the imb-MR CSV
+        (train.py:163-168); required for idt weighting/metrics.
+      mesh: optional jax.sharding.Mesh with a 'data' axis for multi-chip
+        data parallelism.
+
+    Returns final (params, opt_state, history).
+    """
+    from passion_tpu.models import init_params as default_init
+
+    key = jax.random.PRNGKey(cfg.seed)
+    init_fn = init_params_fn or (lambda k: default_init(
+        model, k, patch_size=cfg.patch_size, batch_size=1))
+    params = init_fn(key)
+
+    if cfg.resume and cfg.use_pretrain:
+        params = ckpt.load_pretrained_params(cfg.resume, params)
+        logging.info("load ok")
+
+    tx = make_optimizer(cfg.weight_decay)
+    opt_state = tx.init(params)
+    start_epoch = 0
+    if cfg.resume and not cfg.use_pretrain and os.path.exists(cfg.resume):
+        state = ckpt.load_checkpoint(
+            cfg.resume, {"epoch": 0, "params": params, "opt_state": opt_state})
+        params, opt_state = state["params"], state["opt_state"]
+        start_epoch = int(state["epoch"]) + 1
+        logging.info("resumed from %s at epoch %d", cfg.resume, start_epoch)
+
+    with_dropout = type(model).__name__ != "RFNet"
+    step = make_train_step(model, tx, cfg.use_passion, model.num_cls,
+                           with_dropout=with_dropout)
+
+    iter_per_epoch = getattr(cfg, "iters_per_epoch", None) or len(train_loader)
+    idt = cfg.mask_type != "pdt"
+    if modal_num is None:
+        modal_num = np.full((NUM_MODALS,), max(iter_per_epoch, 1), np.float64)
+    modal_num = np.asarray(modal_num, np.float64)
+    modal_weight = (iter_per_epoch / modal_num).astype(np.float32)
+    logging.info(
+        "Training Imperfect Datasets with Mod.Flair-%d, Mod.T1c-%d, "
+        "Mod.T1-%d, Mod.T2-%d", *[int(v) for v in modal_num])
+
+    imb_beta = np.ones((NUM_MODALS,), np.float32)
+    eta = 0.01
+    history = []
+
+    if mesh is not None:
+        from passion_tpu.parallel.mesh import shard_batch_fn
+        shard = shard_batch_fn(mesh)
+    else:
+        shard = lambda b: b  # noqa: E731
+
+    tag = "PASSION" if cfg.use_passion else "NO-PASSION"
+    logging.info("#############%s-%s-Training############", tag,
+                 cfg.mask_type.upper())
+    start = time.time()
+    for epoch in range(start_epoch, cfg.num_epochs):
+        step_lr = lr_at_epoch(epoch, cfg.lr, cfg.num_epochs)
+        opt_state = set_learning_rate(opt_state, step_lr)
+        if writer:
+            writer.add_scalar("lr", step_lr, epoch + 1)
+        warmup = epoch < cfg.region_fusion_start_epoch
+        acc = {k: 0.0 for k in ("loss", "fuse_loss", "prm_loss", "sep_loss",
+                                "kl_loss", "proto_loss")}
+        acc_m = {k: np.zeros(NUM_MODALS) for k in
+                 ("sep_m", "kl_m", "proto_m", "dist_m")}
+
+        b0 = time.time()
+        for i, batch in enumerate(train_loader):
+            if i >= iter_per_epoch:
+                break
+            arrays = shard({
+                "x": batch["x"].astype(np.float32),
+                "target": batch["target"].astype(np.float32),
+                "mask": batch["mask"],
+            })
+            key, sub = jax.random.split(key)
+            params, opt_state, m = step(
+                params, opt_state, arrays, jnp.asarray(imb_beta),
+                jnp.asarray(modal_weight), jnp.asarray(cfg.temp, jnp.float32),
+                sub, warmup)
+            m = jax.tree_util.tree_map(np.asarray, m)
+            for k in acc:
+                acc[k] += float(m[k]) / iter_per_epoch
+            denom = modal_num if idt else iter_per_epoch
+            for k in acc_m:
+                acc_m[k] += m[k] / denom
+            msg = ("Epoch {}/{}, Iter {}/{}, Loss {:.4f}, fuse_loss:{:.4f}, "
+                   "prm_loss:{:.4f}, sep_loss:{:.4f}, kl_loss:{:.4f}, "
+                   "proto_loss:{:.4f},").format(
+                epoch + 1, cfg.num_epochs, i + 1, iter_per_epoch,
+                float(m["loss"]), float(m["fuse_loss"]), float(m["prm_loss"]),
+                float(m["sep_loss"]), float(m["kl_loss"]),
+                float(m["proto_loss"]))
+            msg += "seplist:[{}] kllist:[{}] distlist:[{}] ".format(
+                ",".join(f"{v:.4f}" for v in m["sep_m"]),
+                ",".join(f"{v:.4f}" for v in m["kl_m"]),
+                ",".join(f"{v:.4f}" for v in m["dist_m"]))
+            msg += " ".join(f"{n:>20}," for n in batch["name"])
+            logging.info(msg)
+        logging.info("train time per epoch: %s", time.time() - b0)
+
+        if cfg.use_passion:
+            imb_beta, eta, rp_epoch = update_imb_beta(
+                imb_beta, eta, acc_m["dist_m"], epoch,
+                cfg.region_fusion_start_epoch)
+            logging.info("rp_epoch:[%s]",
+                         ",".join(f"{v:.4f}" for v in rp_epoch))
+            logging.info("imb_beta:[%s]",
+                         ",".join(f"{v:.4f}" for v in imb_beta))
+            if writer:
+                for mm in range(NUM_MODALS):
+                    writer.add_scalar(f"rp_m{mm}", rp_epoch[mm], epoch + 1)
+
+        if writer:
+            for k, v in acc.items():
+                writer.add_scalar(f"epoch_{k}es" if k == "loss" else
+                                  f"epoch_{k}es", v, epoch + 1)
+            for mm in range(NUM_MODALS):
+                for k in ("sep_m", "kl_m", "proto_m", "dist_m"):
+                    writer.add_scalar(f"{k[:-2]}_m{mm}", acc_m[k][mm],
+                                      epoch + 1)
+
+        state = {"epoch": epoch, "params": params, "opt_state": opt_state}
+        for path in ckpt.checkpoint_paths(cfg.savepath, epoch,
+                                          cfg.num_epochs):
+            ckpt.save_checkpoint(path, state)
+        history.append(dict(epoch=epoch, **acc,
+                            imb_beta=np.asarray(imb_beta).tolist()))
+
+    logging.info("total time: %.4f hours", (time.time() - start) / 3600)
+    return params, opt_state, history

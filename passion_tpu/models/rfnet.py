@@ -191,8 +191,12 @@ class RFNet(nn.Module):
         logits, _, _ = self.decoder_fuse(x1, x2, x3, x4, mask[None])
         return jax.nn.softmax(logits[0], axis=-1)
 
-    def train_losses(self, x, mask, target, temp=1.0, use_passion=True):
+    def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
+                     deterministic: bool = True):
         """Training forward with in-graph per-sample losses (rfnet.py:246-379).
+
+        `deterministic` is accepted for signature parity with the
+        transformer backbones; RFNet has no dropout.
 
         Returns a dict with fuse_pred (softmax) and per-sample losses:
         prm (B,1), sep (B,4), kl (B,4), proto (B,4), dist (B,4).
