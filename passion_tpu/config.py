@@ -50,7 +50,7 @@ class TrainConfig:
     # TPU-build extras (defaults match the reference's hardcoded values)
     patch_size: int = 80
     num_cls: int = 4
-    window_batch: int = 8
+    window_batch: int = 16
     num_workers: int = 8
     iters_per_epoch: int | None = None  # cap for smoke runs
     train_transforms: str = ""

@@ -56,9 +56,15 @@ def test_dice_hd95_softmax(test_loader, infer_volume, params,
         names = batch["name"]
         mask = np.asarray(feature_mask, bool)
 
-        preds = np.stack([infer_volume(params, x[b], mask)
-                          for b in range(x.shape[0])])
-        pred_lab = np.argmax(preds, axis=-1)
+        if hasattr(infer_volume, "infer_labels"):
+            pred_lab = np.stack([
+                infer_volume.infer_labels(params, infer_volume.prepare(x[b]),
+                                          mask)
+                for b in range(x.shape[0])])
+        else:
+            preds = np.stack([infer_volume(params, x[b], mask)
+                              for b in range(x.shape[0])])
+            pred_lab = np.argmax(preds, axis=-1)
 
         scores_separate, scores_eval = dice_class4(pred_lab, target)
         scores_separate = np.asarray(scores_separate)
@@ -94,24 +100,69 @@ def test_dice_hd95_softmax(test_loader, infer_volume, params,
 def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
                    dataname="BraTS/BRATS2020", masks=None, mask_names=None):
     """The 15-combination evaluation sweep (train.py:578-607, reversed
-    order). Returns (avg_dice (4,), avg_hd95 (4,), per_mask dict)."""
+    order). Returns (avg_dice (4,), avg_hd95 (4,), per_mask dict).
+
+    TPU-first iteration order: cases OUTER, masks INNER — each volume is
+    padded + transferred to the device ONCE and reused for all 15 modality
+    combinations (the reference re-runs the full dataloader per mask,
+    train.py:589-604). Results are buffered so the emitted CSV keeps the
+    reference's mask-grouped layout byte-for-byte, including the merged
+    'ET HD95ETPro HD95' header cell (train.py:587 string-concat quirk).
+    """
     masks = MASK_ARRAY if masks is None else masks
     mask_names = MASK_NAMES if mask_names is None else mask_names
+    order = list(zip(list(masks)[::-1], list(mask_names)[::-1]))
+    rows = {name: [] for _, name in order}
+    scores = {name: (AverageMeter(), AverageMeter()) for _, name in order}
+    fast = hasattr(infer_volume, "infer_labels")
+    n_batches = len(test_loader) if hasattr(test_loader, "__len__") else None
+
+    for i, batch in enumerate(test_loader):
+        x = np.asarray(batch["x"])
+        target = np.asarray(batch["target"])
+        names = batch["name"]
+        prepared = [infer_volume.prepare(x[b]) for b in range(x.shape[0])] \
+            if fast else None
+        for mask, mname in order:
+            mask = np.asarray(mask, bool)
+            if fast:
+                pred_lab = np.stack([
+                    infer_volume.infer_labels(params, prepared[b], mask)
+                    for b in range(x.shape[0])])
+            else:
+                pred_lab = np.stack([
+                    np.argmax(infer_volume(params, x[b], mask), axis=-1)
+                    for b in range(x.shape[0])])
+            _, scores_eval = dice_class4(pred_lab, target)
+            scores_eval = np.asarray(scores_eval)
+            dm, hm = scores[mname]
+            for k, name in enumerate(names):
+                scores_hd95 = np.array(cal_hd95(pred_lab[k], target[k]))
+                dm.update(scores_eval[k])
+                hm.update(scores_hd95)
+                rows[mname].append(list(scores_eval[k]) + list(scores_hd95))
+                msg = "Subject {}/{} [{}]{:>20}, ".format(
+                    i + 1, n_batches if n_batches is not None else "?",
+                    mname, name)
+                msg += "DSC: " + ", ".join(
+                    f"{c}: {v:.4f}"
+                    for c, v in zip(CLASS_EVALUATION, scores_eval[k]))
+                logging.info(msg)
+
     dice_meter = AverageMeter()
     hd95_meter = AverageMeter()
     per_mask = {}
-    # reference header quirk kept verbatim: 'ET HD95' 'ETPro HD95' merge
     _csv_append(csv_name, ["WT Dice", "TC Dice", "ET Dice", "ETPro Dice",
                            "WT HD95", "TC HD95", "ET HD95" "ETPro HD95"])
-    for mask, name in zip(masks[::-1], mask_names[::-1]):
-        logging.info(name)
-        _csv_append(csv_name, [name])
-        dice, hd95 = test_dice_hd95_softmax(
-            test_loader, infer_volume, params, dataname=dataname,
-            feature_mask=list(mask), mask_name=name, csv_name=csv_name)
-        per_mask[name] = dict(dice=np.asarray(dice), hd95=np.asarray(hd95))
-        dice_meter.update(dice)
-        hd95_meter.update(hd95)
+    for _, mname in order:
+        _csv_append(csv_name, [mname])
+        for row in rows[mname]:
+            _csv_append(csv_name, row)
+        dm, hm = scores[mname]
+        logging.info("%s: DSC %s, HD95 %s", mname, dm.avg, hm.avg)
+        per_mask[mname] = dict(dice=np.asarray(dm.avg), hd95=np.asarray(hm.avg))
+        dice_meter.update(dm.avg)
+        hd95_meter.update(hm.avg)
     logging.info("Avg Dice scores: %s", dice_meter.avg)
     logging.info("Avg HD95 scores: %s", hd95_meter.avg)
     return dice_meter.avg, hd95_meter.avg, per_mask

@@ -66,12 +66,17 @@ class SlidingWindowInference:
     """
 
     def __init__(self, apply_fn, num_cls: int = 4, patch: int = 80,
-                 window_batch: int = 8, spatial_bucket: int = 16):
+                 window_batch: int = 16, spatial_bucket: int = 16,
+                 compute_dtype=jnp.bfloat16):
         self.apply_fn = apply_fn
         self.num_cls = num_cls
         self.patch = patch
         self.window_batch = window_batch
         self.spatial_bucket = spatial_bucket
+        # bf16 is the serving dtype on TPU (MXU-native, halves HBM traffic);
+        # accumulation of window probs stays fp32. Pass jnp.float32 for
+        # bit-faithful parity runs.
+        self.compute_dtype = compute_dtype
         self._jitted = jax.jit(self._run)
 
     def _run(self, params, xpad, coords, valid, mask):
@@ -83,6 +88,10 @@ class SlidingWindowInference:
         wgt = jnp.zeros(xpad.shape[:3] + (1,), jnp.float32)
         mask_b = jnp.broadcast_to(mask[None], (wb, mask.shape[0]))
         ones = jnp.ones((p, p, p, 1), jnp.float32)
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(self.compute_dtype)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, params)
+        xpad = xpad.astype(self.compute_dtype)
 
         def gather(cc):
             return jax.lax.dynamic_slice(
@@ -111,9 +120,9 @@ class SlidingWindowInference:
         (acc, wgt), _ = jax.lax.scan(chunk_step, (acc, wgt), (coords, valid))
         return acc / jnp.maximum(wgt, 1e-8)
 
-    def __call__(self, params, x, mask):
-        """x: (H, W, Z, 4) volume; mask: (4,) bool. Returns (H, W, Z, C)
-        coverage-averaged softmax probabilities (predict.py:198-215)."""
+    def prepare(self, x):
+        """Stage one volume for repeated inference (e.g. the 15-mask sweep):
+        pads + transfers to device ONCE; returns an opaque prepared case."""
         x = np.asarray(x)
         h, w, z, _ = x.shape
         coords = window_coords((h, w, z), self.patch)
@@ -131,11 +140,32 @@ class SlidingWindowInference:
         xpad[:h, :w, :z] = x
 
         nc = n_pad // self.window_batch
-        out = self._jitted(
-            params,
-            jnp.asarray(xpad),
-            jnp.asarray(coords_pad.reshape(nc, self.window_batch, 3)),
-            jnp.asarray(valid.reshape(nc, self.window_batch)),
-            jnp.asarray(np.asarray(mask, bool)),
+        return dict(
+            xpad=jnp.asarray(xpad),
+            coords=jnp.asarray(coords_pad.reshape(nc, self.window_batch, 3)),
+            valid=jnp.asarray(valid.reshape(nc, self.window_batch)),
+            shape=(h, w, z),
         )
-        return np.asarray(out)[:h, :w, :z]
+
+    def run(self, params, prepared, mask):
+        """Coverage-averaged softmax probs on DEVICE, padded extent."""
+        return self._jitted(params, prepared["xpad"], prepared["coords"],
+                            prepared["valid"],
+                            jnp.asarray(np.asarray(mask, bool)))
+
+    def infer_labels(self, params, prepared, mask) -> np.ndarray:
+        """Argmax labels (H, W, Z) uint8 — the evaluation consumable.
+
+        Keeps the argmax on device so only ~1 byte/voxel crosses the host
+        boundary instead of 16 (4 fp32 class probs)."""
+        probs = self.run(params, prepared, mask)
+        labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+        h, w, z = prepared["shape"]
+        return np.asarray(labels)[:h, :w, :z]
+
+    def __call__(self, params, x, mask):
+        """x: (H, W, Z, 4) volume; mask: (4,) bool. Returns (H, W, Z, C)
+        coverage-averaged softmax probabilities (predict.py:198-215)."""
+        prepared = self.prepare(x)
+        h, w, z = prepared["shape"]
+        return np.asarray(self.run(params, prepared, mask))[:h, :w, :z]

@@ -57,8 +57,34 @@ def flatten_modalities(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(x, 1, 4).reshape(b, h, w, z, m * c)
 
 
+def mask_channels(x: jnp.ndarray, mask: jnp.ndarray, num_modals: int = NUM_MODALS) -> jnp.ndarray:
+    """Zero absent modalities on a FLAT modality-major channel axis.
+
+    x: (B, ..., M*C); mask: (B, M). The flat layout is the TPU-native
+    representation of the reference's stacked (B, M, C, ...) tensors: with
+    channels last, a stacked tensor's (M=4, C=8) tail pads to (8, 128) tiles
+    — a 16-32x HBM blowup — while the flat M*C tail stays dense.
+    """
+    b = x.shape[0]
+    c = x.shape[-1] // num_modals
+    m = jnp.repeat(mask.astype(x.dtype), c, axis=1)  # (B, M*C)
+    return x * m.reshape((b,) + (1,) * (x.ndim - 2) + (num_modals * c,))
+
+
+def split_modalities(x: jnp.ndarray, num_modals: int = NUM_MODALS):
+    """Flat (B, ..., M*C) -> list of M tensors (B, ..., C)."""
+    c = x.shape[-1] // num_modals
+    return [x[..., m * c:(m + 1) * c] for m in range(num_modals)]
+
+
 class Conv3d(nn.Module):
-    """Plain 3D conv with torch-style explicit padding (reflect or zeros)."""
+    """Plain 3D conv with torch-style explicit padding (reflect or zeros).
+
+    `groups > 1` gives a grouped conv: with modality-major flat channels and
+    groups=4, this IS four independent per-modality convs executed as one
+    XLA op with a stacked weight — the TPU-native form of the reference's
+    four separate encoders.
+    """
 
     features: int
     k_size: int = 3
@@ -66,6 +92,7 @@ class Conv3d(nn.Module):
     padding: int = 1
     pad_type: str = "reflect"  # 'reflect' | 'zeros'
     use_bias: bool = True
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -81,6 +108,7 @@ class Conv3d(nn.Module):
             strides=(self.stride,) * 3,
             padding="VALID",
             use_bias=self.use_bias,
+            feature_group_count=self.groups,
             kernel_init=conv_kernel_init,
         )(x)
 
@@ -93,11 +121,12 @@ class GeneralConv3d(nn.Module):
     stride: int = 1
     padding: int = 1
     pad_type: str = "reflect"
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         x = Conv3d(self.features, self.k_size, self.stride, self.padding,
-                   self.pad_type)(x)
+                   self.pad_type, groups=self.groups)(x)
         return leaky_relu(instance_norm(x))
 
 
@@ -114,12 +143,13 @@ class GeneralConv3dPreNorm(nn.Module):
     stride: int = 1
     padding: int = 1
     pad_type: str = "reflect"
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         x = leaky_relu(instance_norm(x))
         return Conv3d(self.features, self.k_size, self.stride, self.padding,
-                      self.pad_type)(x)
+                      self.pad_type, groups=self.groups)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -411,15 +441,17 @@ class _EmbeddingLayer(nn.Module):
 
 
 class PRMGeneratorLastStage(nn.Module):
-    """Deepest-scale PRM head on masked stacked features
-    (prm_generator_laststage_pk, blocks.py:396-416). Returns logits."""
+    """Deepest-scale PRM head on masked flat modality features
+    (prm_generator_laststage_pk, blocks.py:396-416). Returns logits.
+
+    x: (B, ..., 4*in_channel) flat modality-major."""
 
     in_channel: int
     num_cls: int = 4
 
     @nn.compact
     def __call__(self, x, mask):
-        y = flatten_modalities(mask_modalities(x, mask))
+        y = mask_channels(x, mask)
         y = _EmbeddingLayer(self.in_channel, name="embedding_layer")(y)
         y = GeneralConv3d(16, k_size=1, padding=0)(y)
         return Conv3d(self.num_cls, k_size=1, padding=0)(y)
@@ -427,14 +459,16 @@ class PRMGeneratorLastStage(nn.Module):
 
 class PRMGenerator(nn.Module):
     """PRM head on [decoded features | embedded masked skip] concat
-    (prm_generator_pk, blocks.py:443-464). Returns logits."""
+    (prm_generator_pk, blocks.py:443-464). Returns logits.
+
+    x2: (B, ..., 4*in_channel) flat modality-major."""
 
     in_channel: int
     num_cls: int = 4
 
     @nn.compact
     def __call__(self, x1, x2, mask):
-        y = flatten_modalities(mask_modalities(x2, mask))
+        y = mask_channels(x2, mask)
         y = _EmbeddingLayer(self.in_channel, name="embedding_layer")(y)
         y = jnp.concatenate([x1, y], axis=-1)
         y = GeneralConv3d(16, k_size=1, padding=0)(y)
@@ -454,36 +488,27 @@ class PRMFusion(nn.Module):
 
 class ModalFusion(nn.Module):
     """Learned sigmoid per-modality weights inside one region
-    (blocks.py:495-517)."""
+    (blocks.py:495-517). Operates on a LIST of per-modality 5-D tensors to
+    avoid materializing (B, M, ..., C) 6-D temps."""
 
     @nn.compact
-    def __call__(self, x, prm_region):
-        """x: (B, M, H, W, Z, C) region features; prm_region: (B, H, W, Z)."""
-        b = x.shape[0]
+    def __call__(self, xs, prm_region):
+        """xs: list of M tensors (B, H, W, Z, C) region features;
+        prm_region: (B, H, W, Z)."""
+        b = xs[0].shape[0]
         prm_avg = jnp.mean(prm_region, axis=(1, 2, 3)) + 1e-7  # (B,)
-        feat_avg = jnp.mean(x, axis=(2, 3, 4)) / prm_avg[:, None, None]  # (B,M,C)
-        vec = jnp.concatenate(
-            [feat_avg.reshape(b, -1), prm_avg[:, None]], axis=-1
-        )  # (B, M*C + 1)
+        feat_avg = jnp.concatenate(
+            [jnp.mean(x, axis=(1, 2, 3)) for x in xs], axis=-1
+        ) / prm_avg[:, None]  # (B, M*C) modality-major
+        vec = jnp.concatenate([feat_avg, prm_avg[:, None]], axis=-1)
         w = nn.Dense(128, kernel_init=conv_kernel_init)(vec)
         w = leaky_relu(w)
         w = nn.Dense(NUM_MODALS, kernel_init=conv_kernel_init)(w)
         w = jax.nn.sigmoid(w)  # (B, M)
-        return jnp.sum(x * w[:, :, None, None, None, None], axis=1)
-
-
-class RegionFusion(nn.Module):
-    """Fuse per-region features: (B, K, H, W, Z, C) -> (B, H, W, Z, C//2)
-    (blocks.py:520-531)."""
-
-    in_channel: int
-
-    @nn.compact
-    def __call__(self, x):
-        y = flatten_modalities(x)  # region-major channel concat
-        y = GeneralConv3d(self.in_channel, k_size=1, padding=0)(y)
-        y = GeneralConv3d(self.in_channel, k_size=3, padding=1)(y)
-        return GeneralConv3d(self.in_channel // 2, k_size=1, padding=0)(y)
+        out = xs[0] * w[:, 0, None, None, None, None]
+        for m in range(1, NUM_MODALS):
+            out = out + xs[m] * w[:, m, None, None, None, None]
+        return out
 
 
 class RegionAwareModalFusion(nn.Module):
@@ -491,7 +516,8 @@ class RegionAwareModalFusion(nn.Module):
 
     Splits masked modality features into PRM-weighted regions, fuses
     modalities per region with learned weights, then concatenates with a
-    shortcut fusion of the raw masked features.
+    shortcut fusion of the raw masked features. All tensors stay 5-D flat
+    modality-major.
     """
 
     in_channel: int
@@ -499,22 +525,30 @@ class RegionAwareModalFusion(nn.Module):
 
     @nn.compact
     def __call__(self, x, prm, mask):
-        """x: (B, M, H, W, Z, C); prm: (B, H, W, Z, K) softmax probs; mask: (B, M)."""
-        y = mask_modalities(x, mask)
+        """x: (B, H, W, Z, 4*C) flat; prm: (B, H, W, Z, K) softmax probs;
+        mask: (B, M)."""
+        y = mask_channels(x, mask)
+        ys = split_modalities(y)
         region_fused = []
         for r in range(self.num_cls):
-            region_feat = y * prm[:, None, ..., r:r + 1]  # (B, M, H, W, Z, C)
+            pr = prm[..., r:r + 1]
+            region_feat = [ym * pr for ym in ys]
             region_fused.append(
                 ModalFusion(name=f"modal_fusion_{r}")(region_feat, prm[..., r])
             )
-        region_fused = jnp.stack(region_fused, axis=1)  # (B, K, H, W, Z, C)
-        fused = RegionFusion(self.in_channel, name="region_fusion")(region_fused)
+        # region_fusion (blocks.py:520-531): region-major channel concat
+        rf = jnp.concatenate(region_fused, axis=-1)  # (B, ..., K*C)
+        rf = GeneralConv3d(self.in_channel, k_size=1, padding=0,
+                           name="region_fusion_c1")(rf)
+        rf = GeneralConv3d(self.in_channel, k_size=3, padding=1,
+                           name="region_fusion_c2")(rf)
+        rf = GeneralConv3d(self.in_channel // 2, k_size=1, padding=0,
+                           name="region_fusion_c3")(rf)
 
-        sc = flatten_modalities(y)
-        sc = GeneralConv3d(self.in_channel, k_size=1, padding=0)(sc)
+        sc = GeneralConv3d(self.in_channel, k_size=1, padding=0)(y)
         sc = GeneralConv3d(self.in_channel, k_size=3, padding=1)(sc)
         sc = GeneralConv3d(self.in_channel // 2, k_size=1, padding=0)(sc)
-        return jnp.concatenate([fused, sc], axis=-1)
+        return jnp.concatenate([rf, sc], axis=-1)
 
 
 class FusionPreNorm(nn.Module):
@@ -540,9 +574,9 @@ class FusionPostNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        """x: (B, M, H, W, Z, C) stacked; mask: (B, M)."""
+        """x: (B, H, W, Z, M*C) flat modality-major; mask: (B, M)."""
         c = self.in_channel
-        y = flatten_modalities(mask_modalities(x, mask))
+        y = mask_channels(x, mask)
         y = GeneralConv3d(c, k_size=1, padding=0)(y)
         y = GeneralConv3d(c, k_size=3, padding=1)(y)
         return GeneralConv3d(c, k_size=1, padding=0)(y)

@@ -32,7 +32,8 @@ from passion_tpu.models.layers import (
     MaskedTransformer,
     MultiCrossToken,
     PRMFusion,
-    mask_modalities,
+    mask_channels,
+    split_modalities,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
 from passion_tpu.ops.resize import upsample_nearest, upsample_trilinear
@@ -43,21 +44,25 @@ NUM_HEADS = 8
 DEPTH = 3
 
 
-class Encoder(nn.Module):
-    """5-stage post-norm conv encoder, dims c..16c (m2ftrans.py:63-103)."""
+class GroupedEncoder(nn.Module):
+    """5-stage post-norm conv encoder for all 4 modalities at once
+    (m2ftrans.py:63-103), grouped per modality. (B,H,W,Z,4) -> flat scales."""
 
     basic_dims: int = 8
 
     @nn.compact
     def __call__(self, x):
-        c = self.basic_dims
-        x1 = GeneralConv3d(c, name="e1_c1")(x)
-        x1 = x1 + GeneralConv3d(c, name="e1_c3")(GeneralConv3d(c, name="e1_c2")(x1))
+        c, g = self.basic_dims, NUM_MODALS
+
+        def gc(feat, **kw):
+            return GeneralConv3d(feat * g, groups=g, **kw)
+
+        x1 = gc(c, name="e1_c1")(x)
+        x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
         outs = [x1]
         for i, mult in enumerate((2, 4, 8, 16), start=2):
-            xi = GeneralConv3d(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
-            xi = xi + GeneralConv3d(c * mult, name=f"e{i}_c3")(
-                GeneralConv3d(c * mult, name=f"e{i}_c2")(xi))
+            xi = gc(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
+            xi = xi + gc(c * mult, name=f"e{i}_c3")(gc(c * mult, name=f"e{i}_c2")(xi))
             outs.append(xi)
         return tuple(outs)
 
@@ -152,15 +157,15 @@ def _weight_maps(attn0, s):
     (m2ftrans.py:436-443).
 
     attn0: (B, heads, 5T, 5T) first-layer attention (already stop-gradiented).
-    Returns (B, 4, s, s, s, 1): per modality, total attention its token at
-    each voxel receives from all fusion tokens and heads.
+    Returns (B, s, s, s, 4) channels-last: per modality, total attention its
+    token at each voxel receives from all fusion tokens and heads.
     """
     t = s ** 3
     fusion_rows = attn0[:, :, NUM_MODALS * t:, :]  # (B, H, T, 5T)
     per_mod = jnp.sum(fusion_rows, axis=(1, 2))  # (B, 5T)
     maps = per_mod[:, : NUM_MODALS * t].reshape(
         attn0.shape[0], NUM_MODALS, s, s, s)
-    return maps[..., None]
+    return jnp.moveaxis(maps, 1, 4)
 
 
 class FusePath(nn.Module):
@@ -180,35 +185,46 @@ class FusePath(nn.Module):
     @nn.compact
     def __call__(self, feats, fusion_tokens, pos, mask,
                  deterministic: bool = True):
-        """feats: tuple of 5 stacked (B,4,...,C_k); fusion_tokens: (B,T,16c);
-        pos: (1, 5T, 16c); mask: (B, 4)."""
+        """feats: tuple of 5 FLAT scales (B,...,4*C_k); fusion_tokens:
+        (B,T,16c); pos: (1, 5T, 16c); mask: (B, 4)."""
         c = self.basic_dims
-        x5 = feats[4]  # (B, 4, s, s, s, 16c)
-        b, _, s = x5.shape[:3]
+        e = c * 16
+        x5 = feats[4]  # (B, s, s, s, 4*16c) flat modality-major
+        b, s = x5.shape[0], x5.shape[1]
         t = s ** 3
-        embed = x5.reshape(b, NUM_MODALS, t, c * 16).reshape(
-            b, NUM_MODALS * t, c * 16)
+        # flat channels -> modality-major token sequence (B, 4T, E)
+        embed = x5.reshape(b, t, NUM_MODALS, e).transpose(0, 2, 1, 3)
+        embed = embed.reshape(b, NUM_MODALS * t, e)
         tokens = jnp.concatenate([embed, fusion_tokens], axis=1) + pos
         tokens, attn_list = MaskedTransformer(
             self.depth, self.heads, self.mlp_dim, name="trans_bottle")(
             tokens, mask, deterministic)
 
-        chunks = tokens.reshape(b, NUM_MODALS + 1, t, c * 16)
-        modal_tra = chunks[:, :NUM_MODALS].reshape(
-            b, NUM_MODALS, s, s, s, c * 16)
-        fusion_tra = chunks[:, NUM_MODALS].reshape(b, s, s, s, c * 16)
+        chunks = tokens.reshape(b, NUM_MODALS + 1, t, e)
+        modal_tra = chunks[:, :NUM_MODALS].reshape(b, NUM_MODALS, s, s, s, e)
+        fusion_tra = chunks[:, NUM_MODALS].reshape(b, s, s, s, e)
 
         # Weight_Attention (m2ftrans.py:420-460): nearest x2 between scales.
-        w = _weight_maps(attn_list[0], s)  # (B, 4, s, s, s, 1)
-        wx5 = modal_tra * w
+        # Weight maps are (B, S, S, S, 4) channels-last; a flat feature scale
+        # is modulated by repeating each modality's map C_k times.
+        w = _weight_maps(attn_list[0], s)  # (B, s, s, s, 4)
+        wx5 = modal_tra * jnp.moveaxis(w, 4, 1)[..., None]  # small at s^3
         ws = [w]
         for _ in range(4):
-            w = jax.vmap(upsample_nearest, in_axes=1, out_axes=1)(ws[-1])
-            ws.append(w)
-        wx4 = feats[3] * ws[1]
-        wx3 = feats[2] * ws[2]
-        wx2 = feats[1] * ws[3]
-        wx1 = feats[0] * ws[4]
+            ws.append(upsample_nearest(ws[-1]))
+
+        def modulate_flat(feat, wmap):
+            ck = feat.shape[-1] // NUM_MODALS
+            return feat * jnp.repeat(wmap, ck, axis=-1)
+
+        # CT4 consumes a stacked (B, 4, s4, s4, s4, 8c) — small at 1/8 res.
+        x4w = modulate_flat(feats[3], ws[1])
+        s4 = x4w.shape[1]
+        wx4 = jnp.moveaxis(
+            x4w.reshape(b, s4, s4, s4, NUM_MODALS, c * 8), 4, 1)
+        wx3 = modulate_flat(feats[2], ws[2])
+        wx2 = modulate_flat(feats[1], ws[3])
+        wx1 = modulate_flat(feats[0], ws[4])
 
         return DecoderFusion(self.num_cls, self.basic_dims,
                              name="decoder_fusion")(
@@ -233,14 +249,9 @@ class M2FTrans(nn.Module):
     def setup(self):
         e = self.basic_dims * 16
         t = (self.patch_size // 16) ** 3
-        self.encoders = nn.vmap(
-            Encoder, in_axes=1, out_axes=1,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-        )(self.basic_dims, name="encoders")
-        self.decoder_sep = nn.vmap(
-            DecoderSep, in_axes=(1, 1, 1, 1, 1), out_axes=1,
-            variable_axes={"params": None}, split_rngs={"params": False},
-        )(self.num_cls, self.basic_dims, name="decoder_sep")
+        self.encoder = GroupedEncoder(self.basic_dims, name="encoders")
+        self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
+                                      name="decoder_sep")
         self.fuse_path = nn.vmap(
             FusePath,
             in_axes=(None, None, None, 0, None), out_axes=0,
@@ -258,10 +269,9 @@ class M2FTrans(nn.Module):
         idt = self.mask_type != "pdt"
         if idt:
             x = x * mask.astype(x.dtype)[:, None, None, None, :]
-        xm = jnp.moveaxis(x[..., None], 4, 1)
-        feats = self.encoders(xm)
+        feats = self.encoder(x)
         if idt:
-            feats = tuple(mask_modalities(f, mask) for f in feats)
+            feats = tuple(mask_channels(f, mask) for f in feats)
         return feats
 
     def _fusion_tokens(self, b):
@@ -287,16 +297,19 @@ class M2FTrans(nn.Module):
         fuse_logits, prms, de_feats = self.fuse_path(
             feats, self._fusion_tokens(b), self.pos, masks, deterministic)
 
-        sep_pred = self.decoder_sep(*feats)
-        if idt:
-            sep_pred = mask_modalities(sep_pred, mask)
+        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
+        sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(5)])
+                     for m in range(NUM_MODALS)]
 
         modal_gate = mask.astype(jnp.float32) if idt else jnp.ones(
             (b, NUM_MODALS), jnp.float32)
+        if idt:  # mask sep predictions (m2ftrans.py:580-581)
+            sep_preds = [p * modal_gate[:, m, None, None, None, None]
+                         for m, p in enumerate(sep_preds)]
 
         sep_cols = [
-            losses.softmax_weighted_loss_bs(sep_pred[:, m], target, self.num_cls)
-            + losses.dice_loss_bs(sep_pred[:, m], target, self.num_cls)
+            losses.softmax_weighted_loss_bs(sep_preds[m], target, self.num_cls)
+            + losses.dice_loss_bs(sep_preds[m], target, self.num_cls)
             for m in range(NUM_MODALS)
         ]
         sep_loss = jnp.concatenate(sep_cols, axis=1) * modal_gate

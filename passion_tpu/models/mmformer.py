@@ -9,6 +9,13 @@ concatenated through a shared multimodal transformer and decoded back to conv
 features; a fusion decoder with `fusion_prenorm` modality fusion at all 5
 scales and deep-supervision heads seg_d4..seg_d1.
 
+TPU-first: per-modality features live FLAT on the channel axis
+(modality-major (B, ..., 4*C) — dense TPU tiles, vs 16-32x padding for
+stacked (B, 4, ..., 8) tails); the 4 encoders are ONE grouped-conv encoder;
+the PASSION training forward's 5 InterFormer+decoder passes
+(mmformer.py:447,468-531) are one vmapped pass over a stacked (5, B, 4) mask
+axis with tied params.
+
 Reference quirks preserved / fixed:
   * the InterFormer token->volume reshape (mmformer.py:444) reinterprets the
     (B, 4T, 512) token matrix as (B, s, s, s, 2048), interleaving tokens
@@ -17,11 +24,6 @@ Reference quirks preserved / fixed:
   * the reference masks the T2 self-distillation x5 stack with masks_mod2
     (T1) instead of masks_mod3 (mmformer.py:522) — an evident bug; we use
     masks_mod3 (documented deviation, affects mmFormer training only).
-
-TPU-first: per-modality encoders / encode-convs / intra transformers are one
-nn.vmap-lifted module each with a stacked (4, ...) param axis; the PASSION
-training forward's 5 InterFormer+decoder passes (mmformer.py:447,468-531) are
-one vmapped pass over a stacked (5, B, 4) mask axis with tied params.
 """
 
 from __future__ import annotations
@@ -36,8 +38,9 @@ from passion_tpu.models.layers import (
     FusionPreNorm,
     GeneralConv3dPreNorm,
     Transformer,
-    flatten_modalities,
+    mask_channels,
     mask_modalities,
+    split_modalities,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
 from passion_tpu.ops.resize import upsample_trilinear
@@ -49,28 +52,32 @@ NUM_HEADS = 8
 DEPTH = 1
 
 
-class Encoder(nn.Module):
-    """5-stage pre-norm conv encoder, dims c..16c (mmformer.py:24-64)."""
+class GroupedEncoder(nn.Module):
+    """5-stage pre-norm conv encoder for all 4 modalities at once
+    (mmformer.py:24-64), grouped per modality. (B,H,W,Z,4) -> flat scales."""
 
     basic_dims: int = 8
 
     @nn.compact
     def __call__(self, x):
-        c = self.basic_dims
-        x1 = Conv3d(c, name="e1_c1")(x)  # bare conv (mmformer.py:28)
-        x1 = x1 + GeneralConv3dPreNorm(c, name="e1_c3")(
-            GeneralConv3dPreNorm(c, name="e1_c2")(x1))
+        c, g = self.basic_dims, NUM_MODALS
+
+        def gc(feat, **kw):
+            return GeneralConv3dPreNorm(feat * g, groups=g, **kw)
+
+        x1 = Conv3d(c * g, groups=g, name="e1_c1")(x)  # bare conv (mmformer.py:28)
+        x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
         outs = [x1]
         for i, mult in enumerate((2, 4, 8, 16), start=2):
-            xi = GeneralConv3dPreNorm(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
-            xi = xi + GeneralConv3dPreNorm(c * mult, name=f"e{i}_c3")(
-                GeneralConv3dPreNorm(c * mult, name=f"e{i}_c2")(xi))
+            xi = gc(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
+            xi = xi + gc(c * mult, name=f"e{i}_c3")(gc(c * mult, name=f"e{i}_c2")(xi))
             outs.append(xi)
         return tuple(outs)
 
 
 class DecoderSep(nn.Module):
-    """Shared 5-scale per-modality decoder -> softmax (mmformer.py:66-114)."""
+    """Shared 5-scale per-modality decoder -> softmax (mmformer.py:66-114).
+    Applied once per modality with tied params (single-modality inputs)."""
 
     num_cls: int = 4
     basic_dims: int = 8
@@ -101,7 +108,7 @@ class DecoderSep(nn.Module):
 class DecoderFuse(nn.Module):
     """Fusion decoder with deep supervision (mmformer.py:116-189).
 
-    Inputs x1..x4 are flattened masked modality stacks (B, ..., 4*C_k);
+    Inputs x1..x4 are flat masked modality stacks (B, ..., 4*C_k);
     x5 is the InterFormer-decoded volume (B, s, s, s, 16c*4).
     Returns (logits, (pred1..pred4), (de_x1_f..de_x5_f)).
     """
@@ -151,6 +158,18 @@ class DecoderFuse(nn.Module):
             de_x1_f, de_x2_f, de_x3_f, de_x4_f, de_x5_f)
 
 
+class EncodeConv(nn.Module):
+    """Per-modality 1x1 conv to transformer width (mmformer.py:337-340),
+    grouped over the flat modality-channel axis."""
+
+    trans_dim: int = TRANSFORMER_DIM
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.trans_dim * NUM_MODALS, (1, 1, 1),
+                       feature_group_count=NUM_MODALS)(x)
+
+
 class FusePath(nn.Module):
     """InterFormer + fusion decoder for ONE modality mask.
 
@@ -168,8 +187,8 @@ class FusePath(nn.Module):
     @nn.compact
     def __call__(self, feats, intra_stack, pos_all, mask,
                  deterministic: bool = True):
-        """feats: tuple of 4 stacked (B,4,...,C_k); intra_stack: (B,4,T,512);
-        pos_all: (1, 4T, 512); mask: (B, 4)."""
+        """feats: tuple of 4 flat scales (B,...,4*C_k); intra_stack:
+        (B,4,T,512); pos_all: (1, 4T, 512); mask: (B, 4)."""
         b, _, t, d = intra_stack.shape
         s = round(t ** (1 / 3))
         tokens = mask_modalities(intra_stack, mask).reshape(b, NUM_MODALS * t, d)
@@ -181,19 +200,9 @@ class FusePath(nn.Module):
         x5 = inter.reshape(b, s, s, s, d * NUM_MODALS)
         x5 = nn.Conv(self.basic_dims * 16 * NUM_MODALS, (1, 1, 1),
                      name="multimodal_decode_conv")(x5)
-        flat = [flatten_modalities(mask_modalities(f, mask)) for f in feats]
+        flat = [mask_channels(f, mask) for f in feats]
         return DecoderFuse(self.num_cls, self.basic_dims, name="decoder_fuse")(
             *flat, x5)
-
-
-class EncodeConv(nn.Module):
-    """Per-modality 1x1 conv to transformer width (mmformer.py:337-340)."""
-
-    trans_dim: int = TRANSFORMER_DIM
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(self.trans_dim, (1, 1, 1))(x)
 
 
 class MMFormer(nn.Module):
@@ -214,23 +223,15 @@ class MMFormer(nn.Module):
     PRM_UPSCALES = (2, 4, 8, 16)
 
     def setup(self):
-        self.encoders = nn.vmap(
-            Encoder, in_axes=1, out_axes=1,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-        )(self.basic_dims, name="encoders")
-        self.encode_convs = nn.vmap(
-            EncodeConv, in_axes=1, out_axes=1,
-            variable_axes={"params": 0}, split_rngs={"params": True},
-        )(self.trans_dim, name="encode_convs")
+        self.encoder = GroupedEncoder(self.basic_dims, name="encoders")
+        self.encode_convs = EncodeConv(self.trans_dim, name="encode_convs")
         self.intra_transformers = nn.vmap(
             Transformer, in_axes=(1, 0, None), out_axes=1,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
         )(self.depth, self.heads, self.mlp_dim, name="intra_transformers")
-        self.decoder_sep = nn.vmap(
-            DecoderSep, in_axes=(1, 1, 1, 1, 1), out_axes=1,
-            variable_axes={"params": None}, split_rngs={"params": False},
-        )(self.num_cls, self.basic_dims, name="decoder_sep")
+        self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
+                                      name="decoder_sep")
         self.fuse_path = nn.vmap(
             FusePath,
             in_axes=(None, None, None, 0, None), out_axes=0,
@@ -244,35 +245,36 @@ class MMFormer(nn.Module):
         self.pos = self.param("pos", nn.initializers.zeros,
                               (NUM_MODALS, 1, t, self.trans_dim))
 
-    def encode(self, x, mask, *, deterministic: bool = True):
-        """Returns (feats x1..x5 stacked (B,4,...,C), intra_stack (B,4,T,512),
-        pos_all (1,4T,512))."""
+    def encode(self, x, mask, deterministic: bool = True):
+        """Returns (flat scales x1..x5 (B,...,4*C_k), intra_stack
+        (B,4,T,512), pos_all (1,4T,512))."""
         idt = self.mask_type != "pdt"
         if idt:
             x = x * mask.astype(x.dtype)[:, None, None, None, :]
-        xm = jnp.moveaxis(x[..., None], 4, 1)  # (B, 4, H, W, Z, 1)
-        feats = self.encoders(xm)
+        feats = self.encoder(x)
         if idt:
-            feats = tuple(mask_modalities(f, mask) for f in feats)
+            feats = tuple(mask_channels(f, mask) for f in feats)
 
-        x5 = feats[4]  # (B, 4, s, s, s, 16c)
-        b, _, s = x5.shape[:3]
+        x5 = feats[4]  # (B, s, s, s, 4*16c)
+        b, s = x5.shape[0], x5.shape[1]
         t = s ** 3
         if t != self.pos.shape[2]:
             raise ValueError(
                 f"input bottleneck has {t} tokens but pos embedding was sized "
                 f"for patch_size={self.patch_size}; construct the model with "
                 f"the matching patch_size")
-        pos = self.pos  # (4, 1, T, D)
-        tok = self.encode_convs(x5).reshape(b, NUM_MODALS, t, self.trans_dim)
-        intra = self.intra_transformers(tok, pos, deterministic)
+        # grouped 1x1 -> (B, s, s, s, 4*D) modality-major -> (B, 4, T, D)
+        tok = self.encode_convs(x5).reshape(b, t, NUM_MODALS, self.trans_dim)
+        tok = tok.transpose(0, 2, 1, 3)
+        intra = self.intra_transformers(tok, self.pos, deterministic)
         # mmformer.py:433 — intra tokens are masked in both pdt and idt modes
         intra = mask_modalities(intra, mask)
-        pos_all = jnp.moveaxis(pos, 1, 0).reshape(1, NUM_MODALS * t, self.trans_dim)
+        pos_all = jnp.moveaxis(self.pos, 1, 0).reshape(
+            1, NUM_MODALS * t, self.trans_dim)
         return feats, intra, pos_all
 
-    def __call__(self, x, mask, *, deterministic: bool = True):
-        feats, intra, pos_all = self.encode(x, mask, deterministic=deterministic)
+    def __call__(self, x, mask, deterministic: bool = True):
+        feats, intra, pos_all = self.encode(x, mask, deterministic)
         logits, _, _ = self.fuse_path(feats[:4], intra, pos_all, mask[None],
                                       deterministic)
         return jax.nn.softmax(logits[0], axis=-1)
@@ -284,22 +286,25 @@ class MMFormer(nn.Module):
         sg = jax.lax.stop_gradient
         idt = self.mask_type != "pdt"
         b = x.shape[0]
-        feats, intra, pos_all = self.encode(x, mask, deterministic=deterministic)
+        feats, intra, pos_all = self.encode(x, mask, deterministic)
 
         masks = _unimodal_mask_stack(mask) if use_passion else mask[None]
         fuse_logits, prms, de_feats = self.fuse_path(
             feats[:4], intra, pos_all, masks, deterministic)
 
-        sep_pred = self.decoder_sep(*feats)  # (B, 4, H, W, Z, K)
-        if idt:
-            sep_pred = mask_modalities(sep_pred, mask)
+        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
+        sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(5)])
+                     for m in range(NUM_MODALS)]
 
         modal_gate = mask.astype(jnp.float32) if idt else jnp.ones(
             (b, NUM_MODALS), jnp.float32)
+        if idt:  # mask sep predictions (mmformer.py:461-462)
+            sep_preds = [p * modal_gate[:, m, None, None, None, None]
+                         for m, p in enumerate(sep_preds)]
 
         sep_cols = [
-            losses.softmax_weighted_loss_bs(sep_pred[:, m], target, self.num_cls)
-            + losses.dice_loss_bs(sep_pred[:, m], target, self.num_cls)
+            losses.softmax_weighted_loss_bs(sep_preds[m], target, self.num_cls)
+            + losses.dice_loss_bs(sep_preds[m], target, self.num_cls)
             for m in range(NUM_MODALS)
         ]
         sep_loss = jnp.concatenate(sep_cols, axis=1) * modal_gate

@@ -7,12 +7,14 @@ and a `Decoder_fuse` that at each scale predicts a probability region map
 (PRM) and re-weights modality features per region.
 
 TPU-first re-design choices:
-  * channels-last `(B, H, W, Z, C)`;
-  * the 4 per-modality encoders are ONE `nn.vmap`-lifted encoder with a
-    stacked `(4, ...)` parameter axis — a single batched XLA computation
-    instead of 4 sequential module calls;
-  * the shared sep-decoder runs vmapped over the modality axis with tied
-    params;
+  * channels-last `(B, H, W, Z, C)`; per-modality features live FLAT on the
+    channel axis, modality-major `(B, ..., 4*C)` — a stacked (B, 4, ..., 8)
+    tensor's (4, 8) tail pads to (8, 128) TPU tiles (16-32x HBM waste), the
+    flat tail stays dense;
+  * the 4 per-modality encoders are ONE grouped-conv encoder
+    (feature_group_count=4, stacked weights) — a single batched XLA op,
+    mathematically identical to 4 separate encoders;
+  * the shared sep-decoder runs per modality with tied params;
   * the PASSION training forward's 5 fusion-decoder passes (1 real mask +
     4 unimodal masks, reference rfnet.py:244,267-275) are ONE vmapped pass
     over a stacked `(5, B, 4)` mask axis with tied params;
@@ -21,8 +23,6 @@ TPU-first re-design choices:
 """
 
 from __future__ import annotations
-
-from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,34 +35,42 @@ from passion_tpu.models.layers import (
     PRMGenerator,
     PRMGeneratorLastStage,
     RegionAwareModalFusion,
-    mask_modalities,
+    mask_channels,
+    split_modalities,
 )
 from passion_tpu.ops.resize import upsample_trilinear
 
 NUM_MODALS = 4
 
 
-class Encoder(nn.Module):
-    """4-scale residual conv encoder, dims c/2c/4c/8c (rfnet.py:15-48)."""
+class GroupedEncoder(nn.Module):
+    """4-scale residual conv encoder for all 4 modalities at once
+    (rfnet.py:15-48), grouped so each modality sees only its own channels.
+    Input (B, H, W, Z, 4) -> flat scales (B, ..., 4*c)..(B, ..., 4*8c)."""
 
     basic_dims: int = 8
 
     @nn.compact
     def __call__(self, x):
-        c = self.basic_dims
-        x1 = GeneralConv3d(c, name="e1_c1")(x)
-        x1 = x1 + GeneralConv3d(c, name="e1_c3")(GeneralConv3d(c, name="e1_c2")(x1))
-        x2 = GeneralConv3d(c * 2, stride=2, name="e2_c1")(x1)
-        x2 = x2 + GeneralConv3d(c * 2, name="e2_c3")(GeneralConv3d(c * 2, name="e2_c2")(x2))
-        x3 = GeneralConv3d(c * 4, stride=2, name="e3_c1")(x2)
-        x3 = x3 + GeneralConv3d(c * 4, name="e3_c3")(GeneralConv3d(c * 4, name="e3_c2")(x3))
-        x4 = GeneralConv3d(c * 8, stride=2, name="e4_c1")(x3)
-        x4 = x4 + GeneralConv3d(c * 8, name="e4_c3")(GeneralConv3d(c * 8, name="e4_c2")(x4))
+        c, g = self.basic_dims, NUM_MODALS
+
+        def gc(feat, **kw):
+            return GeneralConv3d(feat * g, groups=g, **kw)
+
+        x1 = gc(c, name="e1_c1")(x)
+        x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
+        x2 = gc(c * 2, stride=2, name="e2_c1")(x1)
+        x2 = x2 + gc(c * 2, name="e2_c3")(gc(c * 2, name="e2_c2")(x2))
+        x3 = gc(c * 4, stride=2, name="e3_c1")(x2)
+        x3 = x3 + gc(c * 4, name="e3_c3")(gc(c * 4, name="e3_c2")(x3))
+        x4 = gc(c * 8, stride=2, name="e4_c1")(x3)
+        x4 = x4 + gc(c * 8, name="e4_c3")(gc(c * 8, name="e4_c2")(x4))
         return x1, x2, x3, x4
 
 
 class DecoderSep(nn.Module):
-    """Shared per-modality U-Net decoder -> softmax pred (rfnet.py:50-89)."""
+    """Shared per-modality U-Net decoder -> softmax pred (rfnet.py:50-89).
+    Applied once per modality with tied params (single-modality inputs)."""
 
     num_cls: int = 4
     basic_dims: int = 8
@@ -89,6 +97,7 @@ class DecoderSep(nn.Module):
 class DecoderFuse(nn.Module):
     """Region-aware fusion decoder (rfnet.py:91-152).
 
+    Inputs are flat modality-major scales (B, ..., 4*C_k).
     Returns (fuse logits, (prm1..prm4 logits), (de_x1..de_x4 features)).
     """
 
@@ -154,18 +163,9 @@ class RFNet(nn.Module):
     PRM_UPSCALES = (1, 2, 4, 8)
 
     def setup(self):
-        self.encoders = nn.vmap(
-            Encoder,
-            in_axes=1, out_axes=1,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-        )(self.basic_dims, name="encoders")
-        self.decoder_sep = nn.vmap(
-            DecoderSep,
-            in_axes=(1, 1, 1, 1), out_axes=1,
-            variable_axes={"params": None},
-            split_rngs={"params": False},
-        )(self.num_cls, self.basic_dims, name="decoder_sep")
+        self.encoder = GroupedEncoder(self.basic_dims, name="encoders")
+        self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
+                                      name="decoder_sep")
         self.decoder_fuse = nn.vmap(
             DecoderFuse,
             in_axes=(None, None, None, None, 0), out_axes=0,
@@ -174,15 +174,14 @@ class RFNet(nn.Module):
         )(self.num_cls, self.basic_dims, name="decoder_fuse")
 
     def encode(self, x, mask):
-        """x: (B, H, W, Z, 4) modality-channel volume -> 4 scales of
-        (B, 4, ..., C) stacked features (masked under idt)."""
+        """x: (B, H, W, Z, 4) modality-channel volume -> 4 flat scales
+        (B, ..., 4*C_k) (masked under idt)."""
         idt = self.mask_type != "pdt"
         if idt:
             x = x * mask.astype(x.dtype)[:, None, None, None, :]
-        xm = jnp.moveaxis(x[..., None], 4, 1)  # (B, 4, H, W, Z, 1)
-        feats = self.encoders(xm)
+        feats = self.encoder(x)
         if idt:
-            feats = tuple(mask_modalities(f, mask) for f in feats)
+            feats = tuple(mask_channels(f, mask) for f in feats)
         return feats
 
     def __call__(self, x, mask):
@@ -204,23 +203,27 @@ class RFNet(nn.Module):
         sg = jax.lax.stop_gradient
         idt = self.mask_type != "pdt"
         b = x.shape[0]
-        x1, x2, x3, x4 = self.encode(x, mask)
+        feats = self.encode(x, mask)
+        x1, x2, x3, x4 = feats
 
         masks = _unimodal_mask_stack(mask) if use_passion else mask[None]
         fuse_logits, prms, de_feats = self.decoder_fuse(x1, x2, x3, x4, masks)
 
-        # Shared sep decoder over modalities (tied weights, rfnet.py:248-260).
-        sep_pred = self.decoder_sep(x1, x2, x3, x4)  # (B, 4, H, W, Z, K)
-        if idt:
-            sep_pred = mask_modalities(sep_pred, mask)
+        # Shared sep decoder per modality (tied weights, rfnet.py:248-260).
+        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
+        sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(4)])
+                     for m in range(NUM_MODALS)]
 
         modal_gate = mask.astype(jnp.float32) if idt else jnp.ones(
             (b, NUM_MODALS), jnp.float32)
+        if idt:  # mask sep predictions (rfnet.py:259-260)
+            sep_preds = [p * modal_gate[:, m, None, None, None, None]
+                         for m, p in enumerate(sep_preds)]
 
         # sep loss per modality (rfnet.py:292,336 etc.)
         sep_cols = [
-            losses.softmax_weighted_loss_bs(sep_pred[:, m], target, self.num_cls)
-            + losses.dice_loss_bs(sep_pred[:, m], target, self.num_cls)
+            losses.softmax_weighted_loss_bs(sep_preds[m], target, self.num_cls)
+            + losses.dice_loss_bs(sep_preds[m], target, self.num_cls)
             for m in range(NUM_MODALS)
         ]
         sep_loss = jnp.concatenate(sep_cols, axis=1) * modal_gate  # (B, 4)

@@ -58,7 +58,8 @@ def test_batched_engine_matches_naive_loop(rng, shape, window_batch):
     mask = np.array([True, False, True, True])
     engine = SlidingWindowInference(dummy_apply, NUM_CLS, PATCH,
                                     window_batch=window_batch,
-                                    spatial_bucket=8)
+                                    spatial_bucket=8,
+                                    compute_dtype=jnp.float32)
     ours = engine(None, x, mask)
     ref = naive_reference(x, mask)
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
@@ -73,7 +74,21 @@ def test_engine_with_rfnet(rng):
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, PATCH, PATCH, PATCH, 4)),
                         jnp.ones((1, 4), bool))
-    engine = SlidingWindowInference(model.apply, 4, PATCH, window_batch=2)
+    engine = SlidingWindowInference(model.apply, 4, PATCH, window_batch=2,
+                                    compute_dtype=jnp.float32)
     probs = engine(params, x, mask)
     assert probs.shape == (24, 16, 16, 4)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+    # labels fast path == argmax of probs
+    prepared = engine.prepare(x)
+    labels = engine.infer_labels(params, prepared, mask)
+    np.testing.assert_array_equal(labels, np.argmax(probs, axis=-1))
+
+    # bf16 serving dtype: probabilities in the same ballpark as fp32.
+    # Random-init nets have near-uniform class probs, so bf16 rounding over
+    # ~10 conv+IN layers shifts them visibly; trained nets have real margins.
+    bf16 = SlidingWindowInference(model.apply, 4, PATCH, window_batch=2)
+    probs16 = bf16(params, x, mask)
+    np.testing.assert_allclose(probs16, probs, atol=0.2)
+    assert abs(np.mean(probs16) - np.mean(probs)) < 0.01
