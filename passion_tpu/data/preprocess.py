@@ -20,7 +20,6 @@ conversion, not for training on preprocessed npys).
 from __future__ import annotations
 
 import csv
-import itertools
 import os
 
 import numpy as np
@@ -125,62 +124,75 @@ def split_dataset(case_names, tar_path, seed=1037, val_frac=0.1,
     return splits
 
 
-def _expected_counts(p, n):
-    """Deterministic expected count per presence combination.
+# The reference's combination allocation order, as (t1, t1c, flair, t2)
+# presence tuples (generate_imb_mr.py:46-173: tttt, ttft, tttf, ttff, ...).
+_COMBO_ORDER = [
+    tuple(ch == "t" for ch in name)
+    for name in ("tttt", "ttft", "tttf", "ttff", "tftt", "tftf", "tfft",
+                 "tfff", "fttt", "ftft", "fttf", "ftff", "fftt", "fftf",
+                 "ffft")
+]
 
-    Mirrors generate_imb_mr.py:35-173: for each of the 15 non-all-missing
-    combinations of (t1, t1c, flair, t2) presence, count =
-    int(n * prod(present ? 1-p_i : p_i)), bumped to 1 if 0; the remainder of
-    the n samples falls through to random re-rolls (no all-missing allowed).
 
-    `p` is [p_t1, p_t1c, p_flair, p_t2] missing probabilities — the
-    reference's argument order (generate_imb_mr.py:18,37-41).
+def generate_imb_mr(train_names, csv_path, p=(0.2, 0.4, 0.6, 0.8), seed=1037):
+    """Write the imbalanced-missing-rate CSV — bit-identical to the
+    reference generator (generate_imb_mr.py:20-283).
+
+    Replicates the reference's exact legacy-MT19937 random stream
+    (np.random.seed/rand/shuffle/get_state): four i.i.d. presence draws,
+    expected-count overwrite of the first `count` slots in `_COMBO_ORDER`
+    (count = int(n * prod(present ? 1-p_i : p_i)), bumped to 1 if 0),
+    all-missing tail, identical-state co-shuffle of the four presence
+    arrays, and per-row rand(1) re-rolls of all-missing rows at write time.
+    Verified byte-identical to the shipped Brats2020_imb_split_mr2468.csv.
+
+    p: per-modality MISSING probabilities in (t1, t1c, flair, t2) order —
+    the reference's convention (generate_imb_mr.py:18,37-41).
+    Returns per-modality present counts in canonical (flair, t1ce, t1, t2)
+    column order.
     """
-    combos, counts = [], []
-    for bits in itertools.product((True, False), repeat=4):
-        if not any(bits):
-            continue
+    names = sorted(train_names)
+    n = len(names)
+    rs = np.random.RandomState(seed)  # legacy MT19937 == np.random.seed
+
+    # i.i.d. draws (generate_imb_mr.py:37-41) — consumed from the stream
+    # even though the first `count` slots are overwritten below.
+    cols = [rs.rand(n) > pi for pi in p]  # t1, t1c, flair, t2
+    count = 0
+    for bits in _COMBO_ORDER:
         prob = 1.0
         for present, miss_p in zip(bits, p):
             prob *= (1.0 - miss_p) if present else miss_p
         c = int(n * prob)
-        combos.append(bits)  # (t1, t1c, flair, t2)
-        counts.append(max(c, 1))
-    return combos, counts
+        c = c if c > 0 else c + 1
+        for col, present in zip(cols, bits):
+            col[count:count + c] = present
+        count += c
+    for col in cols:  # all-missing tail (generate_imb_mr.py:167-171)
+        col[count:] = False
 
+    # identical-state co-shuffle (generate_imb_mr.py:191-198)
+    state = rs.get_state()
+    for col in cols:
+        rs.set_state(state)
+        rs.shuffle(col)
 
-def generate_imb_mr(train_names, csv_path, p=(0.2, 0.4, 0.6, 0.8), seed=1037):
-    """Write the imbalanced-missing-rate CSV (generate_imb_mr.py:190-283).
-
-    p: per-modality MISSING probabilities in (t1, t1c, flair, t2) order, the
-    reference's convention — e.g. the shipped 'mr2468' split.
-    Returns per-modality present counts (flair, t1ce, t1, t2 order).
-    """
-    names = sorted(train_names)
-    n = len(names)
-    rng = np.random.default_rng(seed)
-
-    combos, counts = _expected_counts(p, n)
-    # allocate combos in order, truncated at n; leftover rows re-rolled i.i.d.
-    rows = []
-    for bits, c in zip(combos, counts):
-        rows.extend([bits] * c)
-    rows = rows[:n]
-    while len(rows) < n:
-        bits = tuple(bool(rng.random() > pi) for pi in p)
-        if any(bits):
-            rows.append(bits)
-    pres = np.array(rows, dtype=bool)  # (n, 4) in (t1, t1c, flair, t2)
-    rng.shuffle(pres, axis=0)
-
+    t1, t1c, flair, t2 = cols
     os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
     modal_counts = np.zeros(4, dtype=np.int64)
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["data_name", "mask_id", "mask", "pos_mask_ids"])
-        for name, (t1, t1c, flair, t2) in zip(names, pres):
+        for i, name in enumerate(names):
+            # all-missing rows re-rolled at write time
+            # (generate_imb_mr.py:213-219)
+            while not (t1[i] or t1c[i] or flair[i] or t2[i]):
+                t1[i] = rs.rand(1) > p[0]
+                t1c[i] = rs.rand(1) > p[1]
+                flair[i] = rs.rand(1) > p[2]
+                t2[i] = rs.rand(1) > p[3]
             # canonical column order: flair, t1ce, t1, t2 (masks.MODALITIES)
-            mask = [bool(flair), bool(t1c), bool(t1), bool(t2)]
+            mask = [bool(flair[i]), bool(t1c[i]), bool(t1[i]), bool(t2[i])]
             mid = mask_id_of(mask)
             pos = sub_combination_ids(mask)
             modal_counts += np.array(mask, dtype=np.int64)

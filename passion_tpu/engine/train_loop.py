@@ -215,7 +215,6 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
                            with_dropout=with_dropout)
 
     iter_per_epoch = getattr(cfg, "iters_per_epoch", None) or len(train_loader)
-    idt = cfg.mask_type != "pdt"
     if modal_num is None:
         modal_num = np.full((NUM_MODALS,), max(iter_per_epoch, 1), np.float64)
     modal_num = np.asarray(modal_num, np.float64)
@@ -229,7 +228,14 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
     history = []
 
     if mesh is not None:
-        from passion_tpu.parallel.mesh import shard_batch_fn
+        from passion_tpu.parallel.mesh import replicate, shard_batch_fn
+        # Params/optimizer state replicated across the mesh; the batch axis
+        # is sharded over 'data' — XLA emits the gradient all-reduce
+        # (replaces reference nn.DataParallel, train.py:90).
+        params = replicate(params, mesh)
+        opt_state = jax.tree_util.tree_map(
+            lambda v: replicate(v, mesh) if hasattr(v, "shape") else v,
+            opt_state)
         shard = shard_batch_fn(mesh)
     else:
         shard = lambda b: b  # noqa: E731
@@ -248,11 +254,47 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
                                 "kl_loss", "proto_loss")}
         acc_m = {k: np.zeros(NUM_MODALS) for k in
                  ("sep_m", "kl_m", "proto_m", "dist_m")}
+        # Per-modality epoch denominator: modal_num ONLY for 'idt';
+        # pdt AND idt_drop use iter_per_epoch (train.py:298-307).
+        denom = modal_num if cfg.mask_type == "idt" else iter_per_epoch
+
+        # Metrics are fetched a couple of steps BEHIND dispatch so the
+        # per-iteration log line (train.py:309-320 parity) never blocks the
+        # accelerator pipeline — the round-1 per-iter np.asarray sync cost
+        # real TPU throughput.
+        pending: list[tuple[int, list, dict]] = []
+
+        def drain(keep: int = 0):
+            while len(pending) > keep:
+                i_, names_, m_ = pending.pop(0)
+                m_ = jax.tree_util.tree_map(np.asarray, m_)
+                for k in acc:
+                    acc[k] += float(m_[k]) / iter_per_epoch
+                for k in acc_m:
+                    acc_m[k] += m_[k] / denom
+                msg = ("Epoch {}/{}, Iter {}/{}, Loss {:.4f}, fuse_loss:{:.4f}, "
+                       "prm_loss:{:.4f}, sep_loss:{:.4f}, kl_loss:{:.4f}, "
+                       "proto_loss:{:.4f},").format(
+                    epoch + 1, cfg.num_epochs, i_ + 1, iter_per_epoch,
+                    float(m_["loss"]), float(m_["fuse_loss"]),
+                    float(m_["prm_loss"]), float(m_["sep_loss"]),
+                    float(m_["kl_loss"]), float(m_["proto_loss"]))
+                msg += "seplist:[{}] kllist:[{}] distlist:[{}] ".format(
+                    ",".join(f"{v:.4f}" for v in m_["sep_m"]),
+                    ",".join(f"{v:.4f}" for v in m_["kl_m"]),
+                    ",".join(f"{v:.4f}" for v in m_["dist_m"]))
+                msg += " ".join(f"{n:>20}," for n in names_)
+                logging.info(msg)
 
         b0 = time.time()
         for i, batch in enumerate(train_loader):
             if i >= iter_per_epoch:
                 break
+            if mesh is not None and batch["x"].shape[0] % mesh.size != 0:
+                logging.warning(
+                    "skipping ragged batch of %d (not divisible by %d-device "
+                    "mesh)", batch["x"].shape[0], mesh.size)
+                continue
             arrays = shard({
                 "x": batch["x"].astype(np.float32),
                 "target": batch["target"].astype(np.float32),
@@ -263,25 +305,9 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
                 params, opt_state, arrays, jnp.asarray(imb_beta),
                 jnp.asarray(modal_weight), jnp.asarray(cfg.temp, jnp.float32),
                 sub, warmup)
-            m = jax.tree_util.tree_map(np.asarray, m)
-            for k in acc:
-                acc[k] += float(m[k]) / iter_per_epoch
-            denom = modal_num if idt else iter_per_epoch
-            for k in acc_m:
-                acc_m[k] += m[k] / denom
-            msg = ("Epoch {}/{}, Iter {}/{}, Loss {:.4f}, fuse_loss:{:.4f}, "
-                   "prm_loss:{:.4f}, sep_loss:{:.4f}, kl_loss:{:.4f}, "
-                   "proto_loss:{:.4f},").format(
-                epoch + 1, cfg.num_epochs, i + 1, iter_per_epoch,
-                float(m["loss"]), float(m["fuse_loss"]), float(m["prm_loss"]),
-                float(m["sep_loss"]), float(m["kl_loss"]),
-                float(m["proto_loss"]))
-            msg += "seplist:[{}] kllist:[{}] distlist:[{}] ".format(
-                ",".join(f"{v:.4f}" for v in m["sep_m"]),
-                ",".join(f"{v:.4f}" for v in m["kl_m"]),
-                ",".join(f"{v:.4f}" for v in m["dist_m"]))
-            msg += " ".join(f"{n:>20}," for n in batch["name"])
-            logging.info(msg)
+            pending.append((i, list(batch["name"]), m))
+            drain(keep=2)
+        drain(keep=0)
         logging.info("train time per epoch: %s", time.time() - b0)
 
         if cfg.use_passion:

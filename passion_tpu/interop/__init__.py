@@ -1,0 +1,6 @@
+"""Interop: import PyTorch reference checkpoints into passion_tpu params."""
+
+from passion_tpu.interop.torch_weights import (  # noqa: F401
+    load_torch_checkpoint,
+    rfnet_params_from_torch,
+)

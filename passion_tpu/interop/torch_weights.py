@@ -1,0 +1,132 @@
+"""Convert reference PyTorch checkpoints to passion_tpu flax params.
+
+A user of the reference (code/models/rfnet.py etc.) can transplant a trained
+`state_dict` into this framework and get numerically matching inference.
+This is also the basis of the cross-framework parity tests: transplanted
+weights must produce the same fused softmax prediction to ~1e-4, proving the
+architectures (padding mode, norm placement, decoder wiring) agree.
+
+Layout conventions translated here:
+  * torch Conv3d weight (O, I, k, k, k)  ->  flax (k, k, k, I, O);
+  * the 4 per-modality torch encoders    ->  ONE grouped conv per layer:
+    kernels concatenated modality-major on the OUT axis (feature_group_count
+    semantics: group g consumes input block g, produces output block g);
+  * torch 1x1x1 convs used as per-region MLPs (modal_fusion.weight_layer)
+    ->  flax Dense kernels (I, O);
+  * InstanceNorm3d is parameter-free in the reference (affine=False), so
+    norms carry no weights.
+
+Only numpy is required here; `load_torch_checkpoint` gates the torch import.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# reference modality encoder attribute order (rfnet.py:178-186) — matches the
+# canonical channel order FLAIR, T1ce, T1, T2 (masks.MODALITIES).
+TORCH_MODALITIES = ("flair", "t1ce", "t1", "t2")
+
+_ENC_LAYERS = tuple(f"e{i}_c{j}" for i in (1, 2, 3, 4) for j in (1, 2, 3))
+_SEP_LAYERS = ("d3_c1", "d3_c2", "d3_out", "d2_c1", "d2_c2", "d2_out",
+               "d1_c1", "d1_c2", "d1_out")
+
+
+def load_torch_checkpoint(path):
+    """Load a reference checkpoint (`torch.save({'state_dict': ...})`,
+    train.py:359-364) into a {name: np.ndarray} dict, stripping the
+    DataParallel 'module.' prefix."""
+    import torch  # gated: only needed when importing torch checkpoints
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _set(tree, path, value):
+    parts = path.split("/")
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def _conv(sd, name):
+    """torch conv '{name}.weight/.bias' -> flax {kernel, bias}."""
+    w = np.asarray(sd[f"{name}.weight"], np.float32)
+    out = {"kernel": np.transpose(w, (2, 3, 4, 1, 0))}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"], np.float32)
+    return out
+
+
+def _grouped_conv(sd, names):
+    """Stack per-modality torch convs into one grouped-conv kernel
+    (kernels concatenated on the OUT axis, modality-major)."""
+    ks, bs = [], []
+    for n in names:
+        w = np.asarray(sd[f"{n}.weight"], np.float32)
+        ks.append(np.transpose(w, (2, 3, 4, 1, 0)))
+        bs.append(np.asarray(sd[f"{n}.bias"], np.float32))
+    return {"kernel": np.concatenate(ks, axis=-1),
+            "bias": np.concatenate(bs, axis=0)}
+
+
+def _dense(sd, name):
+    """torch 1x1x1 conv '{name}' -> flax Dense {kernel (I,O), bias}."""
+    w = np.asarray(sd[f"{name}.weight"], np.float32)  # (O, I, 1, 1, 1)
+    return {"kernel": w.reshape(w.shape[0], w.shape[1]).T,
+            "bias": np.asarray(sd[f"{name}.bias"], np.float32)}
+
+
+def rfnet_params_from_torch(sd):
+    """Reference rfnet.Model state_dict -> flax params for models.rfnet.RFNet.
+
+    Covers the full tree: grouped encoder, shared sep decoder, fusion decoder
+    with PRM generators and region-aware modal fusion (reference
+    rfnet.py:176-244, blocks.py:372-626).
+    """
+    p = {}
+    for layer in _ENC_LAYERS:
+        _set(p, f"encoders/{layer}/Conv3d_0/Conv_0", _grouped_conv(
+            sd, [f"{m}_encoder.{layer}.conv" for m in TORCH_MODALITIES]))
+
+    for layer in _SEP_LAYERS:
+        _set(p, f"decoder_sep/{layer}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_sep.{layer}.conv"))
+    _set(p, "decoder_sep/seg_layer/Conv_0", _conv(sd, "decoder_sep.seg_layer"))
+
+    for layer in _SEP_LAYERS:
+        _set(p, f"decoder_fuse/{layer}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_fuse.{layer}.conv"))
+    _set(p, "decoder_fuse/seg_layer/Conv_0",
+         _conv(sd, "decoder_fuse.seg_layer"))
+
+    for k in (1, 2, 3, 4):
+        prm = f"decoder_fuse.prm_generator{k}"
+        ours = f"decoder_fuse/prm_generator{k}"
+        for i in range(3):
+            _set(p, f"{ours}/embedding_layer/GeneralConv3d_{i}/Conv3d_0/Conv_0",
+                 _conv(sd, f"{prm}.embedding_layer.{i}.conv"))
+        _set(p, f"{ours}/GeneralConv3d_0/Conv3d_0/Conv_0",
+             _conv(sd, f"{prm}.prm_layer.0.conv"))
+        _set(p, f"{ours}/Conv3d_0/Conv_0", _conv(sd, f"{prm}.prm_layer.1"))
+
+        rfm = f"decoder_fuse.RFM{k}"
+        ours = f"decoder_fuse/RFM{k}"
+        for r in range(4):
+            _set(p, f"{ours}/modal_fusion_{r}/Dense_0",
+                 _dense(sd, f"{rfm}.modal_fusion.{r}.weight_layer.0"))
+            _set(p, f"{ours}/modal_fusion_{r}/Dense_1",
+                 _dense(sd, f"{rfm}.modal_fusion.{r}.weight_layer.2"))
+        for i, c in enumerate(("c1", "c2", "c3")):
+            _set(p, f"{ours}/region_fusion_{c}/Conv3d_0/Conv_0",
+                 _conv(sd, f"{rfm}.region_fusion.fusion_layer.{i}.conv"))
+            _set(p, f"{ours}/GeneralConv3d_{i}/Conv3d_0/Conv_0",
+                 _conv(sd, f"{rfm}.short_cut.{i}.conv"))
+
+    return {"params": p}

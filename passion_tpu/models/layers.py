@@ -113,6 +113,51 @@ class Conv3d(nn.Module):
         )(x)
 
 
+class _RawConv(nn.Module):
+    """Declares nn.Conv-compatible params (kernel, bias) and returns them raw
+    — for externally-fused execution paths (ops/s2d.py) that need the
+    canonical weights but not nn.Conv's computation. Init matches Conv3d
+    exactly (same shapes, same initializers, same RNG fold by module path)."""
+
+    features: int
+    in_features: int
+    k_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        shape = (self.k_size,) * 3 + (self.in_features, self.features)
+        kernel = self.param("kernel", conv_kernel_init, shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class RawConv3dParams(nn.Module):
+    """Param-tree twin of `Conv3d` (child Conv_0/{kernel,bias})."""
+
+    features: int
+    in_features: int
+    k_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return _RawConv(self.features, self.in_features, self.k_size,
+                        name="Conv_0")()
+
+
+class RawGeneralConv3dParams(nn.Module):
+    """Param-tree twin of `GeneralConv3d`/`GeneralConv3dPreNorm`
+    (child Conv3d_0/Conv_0/{kernel,bias})."""
+
+    features: int
+    in_features: int
+    k_size: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return RawConv3dParams(self.features, self.in_features, self.k_size,
+                               name="Conv3d_0")()
+
+
 class GeneralConv3d(nn.Module):
     """conv3d -> InstanceNorm -> LeakyReLU(0.2) (blocks.py:354-370)."""
 

@@ -37,12 +37,16 @@ from passion_tpu.models.layers import (
     Conv3d,
     FusionPreNorm,
     GeneralConv3dPreNorm,
+    RawConv3dParams,
+    RawGeneralConv3dParams,
     Transformer,
+    leaky_relu,
     mask_channels,
     mask_modalities,
     split_modalities,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
+from passion_tpu.ops import s2d
 from passion_tpu.ops.resize import upsample_trilinear
 
 NUM_MODALS = 4
@@ -54,9 +58,15 @@ DEPTH = 1
 
 class GroupedEncoder(nn.Module):
     """5-stage pre-norm conv encoder for all 4 modalities at once
-    (mmformer.py:24-64), grouped per modality. (B,H,W,Z,4) -> flat scales."""
+    (mmformer.py:24-64), grouped per modality. (B,H,W,Z,4) -> flat scales.
+
+    With `use_s2d` (default) the 80-cube stage-1 block and the stage-2 entry
+    run in the space-to-depth polyphase domain (ops/s2d.py) — exact
+    re-indexing, identical param tree (raw-param twins), dense TPU tiles.
+    """
 
     basic_dims: int = 8
+    use_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -65,10 +75,35 @@ class GroupedEncoder(nn.Module):
         def gc(feat, **kw):
             return GeneralConv3dPreNorm(feat * g, groups=g, **kw)
 
-        x1 = Conv3d(c * g, groups=g, name="e1_c1")(x)  # bare conv (mmformer.py:28)
-        x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
+        if self.use_s2d and all(d % 2 == 0 for d in x.shape[1:4]):
+            k1, b1 = RawConv3dParams(c * g, 1, name="e1_c1")()
+            k2, b2 = RawGeneralConv3dParams(c * g, c, name="e1_c2")()
+            k3, b3 = RawGeneralConv3dParams(c * g, c, name="e1_c3")()
+            ks, bs = RawGeneralConv3dParams(c * 2 * g, c, name="e2_c1")()
+
+            def prenorm_s2d(xin, k, b):  # IN -> LReLU -> conv (pre-norm)
+                y = leaky_relu(s2d.instance_norm_s2d(xin))
+                return s2d.s2d_conv(s2d.s2d_pad(y),
+                                    s2d.s2d_conv3_kernel(k, groups=g),
+                                    s2d.s2d_bias(b))
+
+            xs = s2d.space_to_depth(x)
+            x1s = s2d.s2d_conv(s2d.s2d_pad(xs),
+                               s2d.s2d_conv3_kernel(k1, groups=g),
+                               s2d.s2d_bias(b1))  # bare conv (mmformer.py:28)
+            x1s = x1s + prenorm_s2d(prenorm_s2d(x1s, k2, b2), k3, b3)
+            x2 = leaky_relu(s2d.instance_norm_s2d(x1s))
+            x2 = s2d.s2d_conv(s2d.s2d_pad(x2, right=False),
+                              s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
+            x1 = s2d.depth_to_space(x1s)
+        else:
+            x1 = Conv3d(c * g, groups=g, name="e1_c1")(x)  # bare conv (mmformer.py:28)
+            x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
+            x2 = gc(c * 2, stride=2, name="e2_c1")(x1)
         outs = [x1]
-        for i, mult in enumerate((2, 4, 8, 16), start=2):
+        x2 = x2 + gc(c * 2, name="e2_c3")(gc(c * 2, name="e2_c2")(x2))
+        outs.append(x2)
+        for i, mult in enumerate((4, 8, 16), start=3):
             xi = gc(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
             xi = xi + gc(c * mult, name=f"e{i}_c3")(gc(c * mult, name=f"e{i}_c2")(xi))
             outs.append(xi)
@@ -216,6 +251,7 @@ class MMFormer(nn.Module):
     mlp_dim: int = MLP_DIM
     heads: int = NUM_HEADS
     depth: int = DEPTH
+    use_s2d: bool = True  # polyphase scale-1 execution (ops/s2d.py)
 
     # Deep-supervision schedule: preds at 1/2..1/16 resolution
     # (mmformer.py:540-544, up_ops=[up2, up4, up8, up16]).
@@ -223,7 +259,8 @@ class MMFormer(nn.Module):
     PRM_UPSCALES = (2, 4, 8, 16)
 
     def setup(self):
-        self.encoder = GroupedEncoder(self.basic_dims, name="encoders")
+        self.encoder = GroupedEncoder(self.basic_dims, self.use_s2d,
+                                      name="encoders")
         self.encode_convs = EncodeConv(self.trans_dim, name="encode_convs")
         self.intra_transformers = nn.vmap(
             Transformer, in_axes=(1, 0, None), out_axes=1,

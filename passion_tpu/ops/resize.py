@@ -72,6 +72,30 @@ def upsample_trilinear(x: jnp.ndarray, scale: int, align_corners: bool = True) -
     return resize_trilinear(x, (h * scale, w * scale, z * scale), align_corners)
 
 
+def upsample2_trilinear_s2d(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+    """x2 trilinear upsample emitted directly in space-to-depth layout.
+
+    (B, H, W, Z, C) -> (B, H, W, Z, C*8) == space_to_depth(upsample_trilinear
+    (x, 2)) exactly (phase-minor channel layout, ops/s2d.py), without ever
+    materializing the 2x volume in conventional (tile-padded) layout. Each
+    output phase is one row-parity slice of the align-corners interpolation
+    matrix.
+    """
+    b, h, w, z, c = x.shape
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    out = xf
+    for axis, (size, spec) in enumerate((
+            (h, "oh,bhwzc...->bowzc..."),
+            (w, "ow,bhwzc...->bhozc..."),
+            (z, "oz,bhwzc...->bhwoc..."))):
+        m = jnp.asarray(_linear_matrix(size, 2 * size, align_corners))
+        phases = [jnp.einsum(spec, m[p::2], out, precision=_PRECISION)
+                  for p in (0, 1)]
+        out = jnp.stack(phases, axis=-1)
+    return out.reshape(b, h, w, z, c * 8).astype(dtype)
+
+
 def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
     """Nearest-neighbor upsample matching torch `nn.Upsample(mode='nearest')`.
 

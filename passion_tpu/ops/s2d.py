@@ -1,0 +1,187 @@
+"""Space-to-depth (polyphase) execution of the 80-cube conv stages.
+
+Why: the backbones' scale-1 stages run 3^3 convs at 80^3 spatial with 8-32
+channels. On TPU, channels live in the 128-wide lane dimension, so a C=32
+bf16 tensor pads 4x in HBM and the MXU runs nearly empty (measured <1% FLOP
+utilization; the conv encoder is ~70% of inference time). Re-indexing each
+2x2x2 spatial block into channels — (B, 80^3, C) -> (B, 40^3, C*8) — makes
+every scale-1 tensor dense in the lane dimension and turns the convs into
+full-tile MXU matmuls (measured 3.8x faster for the stage-1 block, including
+the 3.4x FLOP inflation of the dense polyphase kernel).
+
+This is EXACT, not an approximation: a k=3 stride-1 conv on the original
+grid is a k=3 conv on the block grid whose weights are a fixed linear
+re-indexing of the canonical kernel. Writing o = 2b + p (block b, phase p)
+and the tap position o + d = 2(b + c) + q:
+
+    d = 2c + q - p,  d in {-1,0,1}  =>  per-axis taps
+    (p,q,c,d) in {(0,0,0,0), (0,1,-1,-1), (0,1,0,1),
+                  (1,0,0,-1), (1,1,0,0), (1,0,1,1)}
+
+so block offsets c span {-1,0,1}: a k=3 kernel on blocks, ~70% structurally
+zero. A k=3 stride-2 conv (the stage-2 entry) becomes a k=2 block conv
+(c in {-1,0}) producing the block-resolution output directly.
+
+S2D channel layout: phase-minor within each original channel —
+index = orig_channel * 8 + (px*4 + py*2 + pz) — so InstanceNorm reduces over
+(space, phase) with one reshape, modality masking stays contiguous, and
+channel concatenation is unchanged.
+
+Reflect padding (reference pad_type, blocks.py:358-361) maps to one pad
+block per side whose only-read phase is the reflected interior voxel:
+coord -1 = x[1] (block 0, phase 1) on the left, coord H = x[H-2]
+(last block, phase 0) on the right; all other pad phases have structurally
+zero weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# per-axis taps (p, q, kernel_pos=c+1, tap_pos=d+1) for k=3 stride-1
+_TAPS_K3S1 = (
+    (0, 0, 1, 1),
+    (0, 1, 0, 0),
+    (0, 1, 1, 2),
+    (1, 0, 1, 0),
+    (1, 0, 2, 2),
+    (1, 1, 1, 1),
+)
+# per-axis taps (q, kernel_pos=c'+1, tap_pos=d+1) for k=3 stride-2
+# (output on the block grid; needs one LEFT pad block only)
+_TAPS_K3S2 = (
+    (0, 1, 1),
+    (1, 0, 0),
+    (1, 1, 2),
+)
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, Z, C) -> (B, H/2, W/2, Z/2, C*8), phase-minor channels."""
+    b, h, w, z, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, z // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return x.reshape(b, h // 2, w // 2, z // 2, c * 8)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `space_to_depth`."""
+    b, hb, wb, zb, c8 = x.shape
+    c = c8 // 8
+    x = x.reshape(b, hb, wb, zb, c, 2, 2, 2)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return x.reshape(b, hb * 2, wb * 2, zb * 2, c)
+
+
+def s2d_conv3_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """Canonical k=3 stride-1 (grouped) kernel -> polyphase block kernel.
+
+    w: (3, 3, 3, Ci, G*Co) with group-major out channels (XLA grouped-conv
+    convention). Returns (3, 3, 3, G*Ci*8, G*Co*8), block-diagonal over
+    groups, exact.
+    """
+    _, _, _, ci, gco = w.shape
+    co = gco // groups
+    wg = w.reshape(3, 3, 3, ci, groups, co).transpose(0, 1, 2, 4, 3, 5)
+    # P[g, i, q..., j, p...] shared tap pattern, then block-diag over g
+    pat = jnp.zeros((3, 3, 3, groups, ci, 2, 2, 2, co, 2, 2, 2), w.dtype)
+    for px, qx, kx, dx in _TAPS_K3S1:
+        for py, qy, ky, dy in _TAPS_K3S1:
+            for pz, qz, kz, dz in _TAPS_K3S1:
+                pat = pat.at[kx, ky, kz, :, :, qx, qy, qz, :, px, py, pz].set(
+                    wg[dx, dy, dz])
+    full = jnp.zeros(
+        (3, 3, 3, groups, ci, 2, 2, 2, groups, co, 2, 2, 2), w.dtype)
+    for g in range(groups):
+        full = full.at[:, :, :, g, :, :, :, :, g].set(
+            pat[:, :, :, g] if groups > 1 else pat[:, :, :, 0])
+    return full.reshape(3, 3, 3, groups * ci * 8, groups * co * 8)
+
+
+def s2d_conv3_stride2_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """Canonical k=3 STRIDE-2 (grouped) kernel -> k=2 block kernel.
+
+    Output lands on the block grid (conventional layout, no phases).
+    w: (3, 3, 3, Ci, G*Co) -> (2, 2, 2, G*Ci*8, G*Co). Apply after
+    `s2d_pad(x, left=True, right=False)` with VALID padding.
+    """
+    _, _, _, ci, gco = w.shape
+    co = gco // groups
+    wg = w.reshape(3, 3, 3, ci, groups, co).transpose(0, 1, 2, 4, 3, 5)
+    pat = jnp.zeros((2, 2, 2, groups, ci, 2, 2, 2, co), w.dtype)
+    for qx, kx, dx in _TAPS_K3S2:
+        for qy, ky, dy in _TAPS_K3S2:
+            for qz, kz, dz in _TAPS_K3S2:
+                pat = pat.at[kx, ky, kz, :, :, qx, qy, qz].set(wg[dx, dy, dz])
+    full = jnp.zeros((2, 2, 2, groups, ci, 2, 2, 2, groups, co), w.dtype)
+    for g in range(groups):
+        full = full.at[:, :, :, g, :, :, :, :, g].set(
+            pat[:, :, :, g] if groups > 1 else pat[:, :, :, 0])
+    return full.reshape(2, 2, 2, groups * ci * 8, groups * co)
+
+
+def s2d_bias(b: jnp.ndarray) -> jnp.ndarray:
+    """Canonical per-channel bias -> phase-minor S2D bias (repeat 8x)."""
+    return jnp.repeat(b, 8)
+
+
+def s2d_pad(x: jnp.ndarray, left: bool = True, right: bool = True) -> jnp.ndarray:
+    """Reflect-pad 1 original voxel per side, expressed on the block grid:
+    one pad block per padded side and axis. Only the phases with nonzero
+    polyphase weights carry data (see module docstring)."""
+    b, hb, wb, zb, c8 = x.shape
+    c = c8 // 8
+    v = x.reshape(b, hb, wb, zb, c, 2, 2, 2)
+    for ax, (pl, pr) in ((1, (left, right)), (2, (left, right)),
+                         (3, (left, right))):
+        pieces = []
+        pdim = 5 + (ax - 1)  # phase dim for this axis
+        if pl:
+            first = jax.lax.slice_in_dim(v, 0, 1, axis=ax)
+            phase1 = jax.lax.slice_in_dim(first, 1, 2, axis=pdim)
+            lpad = jnp.concatenate(
+                [jnp.zeros_like(phase1), phase1], axis=pdim)
+            pieces.append(lpad)
+        pieces.append(v)
+        if pr:
+            last = jax.lax.slice_in_dim(v, v.shape[ax] - 1, v.shape[ax],
+                                        axis=ax)
+            phase0 = jax.lax.slice_in_dim(last, 0, 1, axis=pdim)
+            rpad = jnp.concatenate(
+                [phase0, jnp.zeros_like(phase0)], axis=pdim)
+            pieces.append(rpad)
+        v = jnp.concatenate(pieces, axis=ax)
+    return v.reshape(v.shape[:4] + (c8,))
+
+
+def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias=None) -> jnp.ndarray:
+    """VALID conv on the (already padded) block grid."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1, 1), "VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm with torch semantics on an S2D tensor: statistics per
+    original channel over (space, phases); biased variance, fp32 stats."""
+    b, hb, wb, zb, c8 = x.shape
+    v = x.reshape(b, hb, wb, zb, c8 // 8, 8).astype(jnp.float32)
+    axes = (1, 2, 3, 5)
+    mean = jnp.mean(v, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(v - mean), axis=axes, keepdims=True)
+    y = (v - mean) * jax.lax.rsqrt(var + eps)
+    return y.reshape(x.shape).astype(x.dtype)
+
+
+def mask_channels_s2d(x: jnp.ndarray, mask: jnp.ndarray,
+                      num_modals: int = 4) -> jnp.ndarray:
+    """Zero absent modalities on an S2D flat channel axis (modality-major
+    original channels, each expanded by 8 phases)."""
+    b = x.shape[0]
+    c = x.shape[-1] // num_modals
+    m = jnp.repeat(mask.astype(x.dtype), c, axis=1)
+    return x * m.reshape((b,) + (1,) * (x.ndim - 2) + (num_modals * c,))

@@ -126,6 +126,28 @@ def test_generate_imb_mr_structure(tmp_path):
     assert counts[2] > counts[1] > counts[0] > counts[3]
 
 
+REF_TRAIN_TXT = "/root/reference/datasets/BraTS/BRATS2020_Training_none_npy/train.txt"
+REF_MR2468_CSV = "/root/reference/datasets/BraTS/brats_split/Brats2020_imb_split_mr2468.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_MR2468_CSV),
+                    reason="reference datasets not available")
+def test_generate_imb_mr_matches_shipped_mr2468(tmp_path):
+    """Gold test: our generator is byte-identical to the reference's shipped
+    mr2468 CSV (same legacy MT19937 stream, seed 1037), and the per-modality
+    present counts match the reference's comment table
+    (generate_imb_mr.py:175-188: mr2468 -> T1 184, T1c 135, FLAIR 90, T2 43).
+    """
+    with open(REF_TRAIN_TXT) as f:
+        names = [l.strip() for l in f if l.strip()]
+    out = str(tmp_path / "mr2468.csv")
+    counts = generate_imb_mr(names, out, p=(0.2, 0.4, 0.6, 0.8), seed=1037)
+    # counts in canonical (flair, t1ce, t1, t2) order
+    np.testing.assert_array_equal(counts, [90, 135, 184, 43])
+    with open(out, "rb") as a, open(REF_MR2468_CSV, "rb") as b:
+        assert a.read() == b.read()
+
+
 def test_loader_batches_and_determinism(synth_root):
     ds = BratsTrainPDT(transforms="Compose([RandCrop3D((16,16,16)), "
                                   "NumpyType((np.float32, np.int64)),])",

@@ -1,0 +1,121 @@
+"""Multi-device data parallelism on the 8-device virtual CPU mesh.
+
+Exercises the §2.6 axis end-to-end: batch sharding across a
+`jax.sharding.Mesh`, mesh-replicated params through `fit(mesh=...)`,
+equivalence with the single-device run, and run-to-run determinism.
+Replaces the reference's nn.DataParallel (train.py:90).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from passion_tpu.config import TrainConfig
+from passion_tpu.data.datasets import BratsTrainIDT
+from passion_tpu.data.loader import PrefetchLoader
+from passion_tpu.data.synth import make_synthetic_dataset
+from passion_tpu.models.rfnet import RFNet
+from passion_tpu.parallel.mesh import make_mesh, replicate, shard_batch_fn
+from passion_tpu.engine.train_loop import fit
+
+PATCH = 16
+
+
+def test_shard_batch_fn_shards_batch_axis():
+    mesh = make_mesh(8)
+    shard = shard_batch_fn(mesh)
+    batch = {
+        "x": np.zeros((8, PATCH, PATCH, PATCH, 4), np.float32),
+        "mask": np.ones((8, 4), bool),
+    }
+    out = shard(batch)
+    for k, v in out.items():
+        assert v.sharding == NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+        # one batch row per device
+        for s in v.addressable_shards:
+            assert s.data.shape[0] == 1, (k, s.data.shape)
+
+
+def test_replicate_places_on_all_devices():
+    mesh = make_mesh(8)
+    tree = {"w": np.arange(6.0).reshape(2, 3)}
+    rep = replicate(tree, mesh)
+    assert len(rep["w"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(rep["w"]), tree["w"])
+
+
+@pytest.fixture(scope="module")
+def mesh_train_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_mesh")
+    # 24 cases -> 8 reserved for val/test -> 16 train cases = two full
+    # device-divisible batches of 8
+    make_synthetic_dataset(str(root), n_cases=24, shape=(24, 24, 20), seed=5)
+    ds = BratsTrainIDT(
+        transforms=f"Compose([RandCrop3D(({PATCH},{PATCH},{PATCH})), "
+                   "NumpyType((np.float32, np.int64)),])",
+        root=str(root), mask_type="idt",
+        train_file=os.path.join(str(root), "imb_split.csv"))
+    return root, ds
+
+
+def _cfg(tmp_path, name, **kw):
+    base = dict(model="rfnet", batch_size=8, lr=1e-3, num_epochs=1,
+                temp=4.0, region_fusion_start_epoch=0, seed=3,
+                mask_type="idt", use_passion=True,
+                savepath=str(tmp_path / name), patch_size=PATCH,
+                iters_per_epoch=2)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _run_fit(tmp_path, ds, name, mesh=None):
+    loader = PrefetchLoader(ds, batch_size=8, shuffle=True, seed=3,
+                            num_threads=1)
+    model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
+    params, _, history = fit(model, loader, _cfg(tmp_path, name), mesh=mesh,
+                             modal_num=ds.modal_counts())
+    return jax.device_get(params), history
+
+
+def test_mesh_fit_matches_single_device(mesh_train_setup, tmp_path):
+    """Data-parallel fit over 8 devices computes the same losses as the
+    single-device fit (same seed): under GSPMD the sharded step is the same
+    math, so per-epoch losses agree to float tolerance.
+
+    Params are compared LOOSELY: AdamW normalizes each element by
+    sqrt(v)+eps, so elements whose true gradient is numerically ~0 get a
+    +/-lr update whose SIGN depends on the fp reduction order — exact
+    param equality across device counts is unattainable by construction.
+    A real sharding bug (partial batch, wrong axis) changes the losses,
+    which are checked tightly."""
+    root, ds = mesh_train_setup
+    p1, h1 = _run_fit(tmp_path, ds, "single", mesh=None)
+    p8, h8 = _run_fit(tmp_path, ds, "mesh8", mesh=make_mesh(8))
+    assert len(h8) == len(h1) == 1
+    for k in ("loss", "fuse_loss", "prm_loss", "sep_loss", "kl_loss",
+              "proto_loss"):
+        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=1e-4,
+                                   err_msg=k)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    assert len(flat1) == len(flat8)
+    for a, b in zip(flat1, flat8):
+        # bound: two optimizer steps of lr=1e-3 drift at most ~2e-3/elem
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=3e-3)
+
+
+def test_fit_deterministic_same_seed(mesh_train_setup, tmp_path):
+    """Two identical runs produce identical params (determinism control
+    standing in for the reference's cudnn.deterministic pins,
+    train.py:72-73)."""
+    root, ds = mesh_train_setup
+    pa, ha = _run_fit(tmp_path, ds, "det_a")
+    pb, hb = _run_fit(tmp_path, ds, "det_b")
+    assert ha[0]["loss"] == hb[0]["loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(pa),
+                    jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

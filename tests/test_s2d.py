@@ -1,0 +1,104 @@
+"""Exactness of the space-to-depth (polyphase) conv execution.
+
+Every op here must match its canonical counterpart bit-closely — S2D is a
+re-indexing, not an approximation (ops/s2d.py docstring)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from passion_tpu.ops.norm import instance_norm
+from passion_tpu.ops.s2d import (
+    depth_to_space,
+    instance_norm_s2d,
+    mask_channels_s2d,
+    s2d_bias,
+    s2d_conv,
+    s2d_conv3_kernel,
+    s2d_conv3_stride2_kernel,
+    s2d_pad,
+    space_to_depth,
+)
+
+
+def _canon_conv(x, w, groups=1, stride=1):
+    """Reference computation: reflect pad 1 + conv (our Conv3d semantics)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, w, (stride,) * 3, "VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        feature_group_count=groups)
+
+
+@pytest.fixture
+def x(rng):
+    return jnp.asarray(rng.standard_normal((2, 8, 10, 12, 4)), jnp.float32)
+
+
+def test_s2d_roundtrip(x):
+    np.testing.assert_array_equal(np.asarray(depth_to_space(space_to_depth(x))),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("groups", [1, 4])
+def test_s2d_conv3_exact(rng, x, groups):
+    ci = 4 // groups if groups == 4 else 4
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4 // groups, 8)) * 0.3,
+                    jnp.float32)
+    ref = _canon_conv(x, w, groups=groups)
+    xs = space_to_depth(x)
+    ws = s2d_conv3_kernel(w, groups=groups)
+    got = depth_to_space(s2d_conv(s2d_pad(xs), ws))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("groups", [1, 4])
+def test_s2d_conv3_stride2_exact(rng, x, groups):
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4 // groups, 8)) * 0.3,
+                    jnp.float32)
+    ref = _canon_conv(x, w, groups=groups, stride=2)
+    xs = space_to_depth(x)
+    ws = s2d_conv3_stride2_kernel(w, groups=groups)
+    got = s2d_conv(s2d_pad(xs, left=True, right=False), ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_bias_layout(rng, x):
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4, 8)) * 0.3, jnp.float32)
+    ref = _canon_conv(x, w) + b
+    got = depth_to_space(
+        s2d_conv(s2d_pad(space_to_depth(x)), s2d_conv3_kernel(w), s2d_bias(b)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_s2d_exact(x):
+    ref = instance_norm(x)
+    got = depth_to_space(instance_norm_s2d(space_to_depth(x)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_upsample2_s2d_exact(rng):
+    from passion_tpu.ops.resize import upsample2_trilinear_s2d, upsample_trilinear
+
+    x = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 3)), jnp.float32)
+    ref = space_to_depth(upsample_trilinear(x, 2))
+    got = upsample2_trilinear_s2d(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mask_channels_s2d(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 4 * 2 * 8)), jnp.float32)
+    mask = jnp.asarray([[True, False, True, False],
+                        [False, True, True, True]])
+    y = np.asarray(mask_channels_s2d(x, mask))
+    v = y.reshape(2, 4, 4, 4, 4, 2 * 8)
+    assert np.all(v[0, ..., 1, :] == 0) and np.all(v[0, ..., 3, :] == 0)
+    assert np.all(v[1, ..., 0, :] == 0)
+    assert not np.all(v[0, ..., 0, :] == 0)
