@@ -1,35 +1,79 @@
 #!/usr/bin/env python
-"""Benchmark: BraTS sliding-window inference throughput (cases/sec/chip).
+"""Benchmark: the reference's evaluation workload on one TPU chip.
 
-Protocol (BASELINE.md): one full 240x240x155 BraTS case evaluated with the
-reference's 80-cube 50%-overlap sliding window (75 windows/case,
-code/utils/predict.py:182-215) through the flagship mmFormer backbone —
-the inner loop of the 15-combination x 100-case evaluation sweep.
+Headline (default): the full 15-modality-combination sliding-window sweep of
+one 240x240x155 BraTS case through the flagship mmFormer backbone — the
+reference's end-of-training evaluation unit (train.py:578-607 /
+predict.py:182-215: 15 masks x 75 windows of 80^3 per case). Reported as
+mask-cases/sec/chip: one mask-case = one full sliding-window pass of one case
+under one modality mask, the same unit of work as the reference's inner loop.
 
-Baseline: the reference publishes no numbers. The comparison constant below
-is an analytic estimate of the PyTorch reference on its documented hardware
+Baseline: the reference publishes no numbers. The comparison constant is an
+analytic estimate of the PyTorch reference on its documented hardware
 (1x RTX 3090, README.md:41-44): mmFormer inference at 80^3 batch-1 costs
 ~70 ms/window on a 3090 (35-layer 3D conv encoder stack at 8..128 channels +
-505-token transformer), i.e. ~5.3 s -> ~0.19 cases/sec for the 75-window
-loop. We use 0.2 cases/sec; `vs_baseline` = measured / 0.2.
+505-token transformer), i.e. ~5.3 s -> ~0.19 mask-cases/sec for the
+75-window loop; we use 0.2. The reference re-runs the FULL forward for every
+mask, so its sweep rate equals its single-mask rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Modes: `python bench.py` (sweep headline, one JSON line),
+`--single` (single-mask engine, round-1 metric), `--train` (jitted PASSION
+train step, steps/sec).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 REF_CASES_PER_SEC = 0.2  # estimated RTX-3090 reference throughput (see above)
+# Training estimate: reference mmFormer+PASSION at bs=1 on a 3090 runs the
+# 5-pass forward + backward in ~2.5 s/iter -> ~0.4 samples/sec (analytic
+# estimate; the repo publishes no numbers).
+REF_TRAIN_SAMPLES_PER_SEC = 0.4
 VOLUME_SHAPE = (240, 240, 155)
 PATCH = 80
-TIMED_PASSES = 3
 
 
-def main():
+def _bench_sweep():
+    import jax
+    import jax.numpy as jnp
+
+    from passion_tpu.engine.sliding_window import SlidingWindowSweep
+    from passion_tpu.masks import MASK_ARRAY
+    from passion_tpu.models import get_model
+
+    model = get_model("mmformer", mask_type="idt", patch_size=PATCH)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, PATCH, PATCH, PATCH, 4), jnp.float32),
+                        jnp.ones((1, 4), bool))
+    engine = SlidingWindowSweep(model, num_cls=4, patch=PATCH,
+                                window_batch=16)
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal(VOLUME_SHAPE + (4,)).astype(np.float32)
+    masks = [np.asarray(m) for m in MASK_ARRAY]
+
+    prepared = engine.prepare(vol)
+    out = engine.sweep_labels(params, prepared, masks)  # compile + warmup
+    assert len(out) == 15 and out[0].shape == VOLUME_SHAPE
+
+    t0 = time.perf_counter()
+    out = engine.sweep_labels(params, prepared, masks)
+    elapsed = time.perf_counter() - t0
+    rate = len(masks) / elapsed
+    print(json.dumps({
+        "metric": "brats_eval_sweep_throughput",
+        "value": round(rate, 4),
+        "unit": ("mask-cases/sec/chip (mmFormer 15-mask sliding-window sweep,"
+                 " 240x240x155, 75x80^3 windows per mask)"),
+        "vs_baseline": round(rate / REF_CASES_PER_SEC, 3),
+    }))
+
+
+def _bench_single():
     import jax
     import jax.numpy as jnp
 
@@ -37,34 +81,84 @@ def main():
     from passion_tpu.models import get_model
 
     model = get_model("mmformer", mask_type="idt", patch_size=PATCH)
-    x_init = jnp.zeros((1, PATCH, PATCH, PATCH, 4), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x_init, jnp.ones((1, 4), bool))
-
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, PATCH, PATCH, PATCH, 4), jnp.float32),
+                        jnp.ones((1, 4), bool))
     engine = SlidingWindowInference(model.apply, num_cls=4, patch=PATCH,
-                                    window_batch=16)  # bf16 serving dtype
+                                    window_batch=16)
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOLUME_SHAPE + (4,)).astype(np.float32)
     mask = np.array([True, True, True, True])
 
-    # The volume lives on device for the whole 15-mask sweep in real
-    # evaluation (evaluator.run_test_sweep), so the timed unit is one
-    # windowed pass returning argmax labels (the evaluation consumable).
     prepared = engine.prepare(vol)
     out = engine.infer_labels(params, prepared, mask)  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(TIMED_PASSES):
-        out = engine.infer_labels(params, prepared, mask)
-    elapsed = time.perf_counter() - t0
-    cases_per_sec = TIMED_PASSES / elapsed
-
     assert out.shape == VOLUME_SHAPE and out.dtype == np.uint8
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = engine.infer_labels(params, prepared, mask)
+    rate = n / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "brats_sliding_window_inference",
-        "value": round(cases_per_sec, 4),
+        "value": round(rate, 4),
         "unit": "cases/sec/chip (mmFormer, 240x240x155, 75x80^3 windows)",
-        "vs_baseline": round(cases_per_sec / REF_CASES_PER_SEC, 3),
+        "vs_baseline": round(rate / REF_CASES_PER_SEC, 3),
+    }))
+
+
+def _bench_train(batch_size: int = 2):
+    import jax
+    import jax.numpy as jnp
+
+    from passion_tpu.engine.schedule import make_optimizer, set_learning_rate
+    from passion_tpu.engine.train_loop import make_train_step
+    from passion_tpu.models import get_model, init_params
+
+    model = get_model("mmformer", mask_type="idt", patch_size=PATCH)
+    params = init_params(model, jax.random.PRNGKey(0), patch_size=PATCH)
+    tx = make_optimizer()
+    opt_state = set_learning_rate(tx.init(params), 2e-4)
+    step = make_train_step(model, tx, use_passion=True, with_dropout=True)
+
+    rng = np.random.default_rng(0)
+    lab = rng.integers(0, 4, size=(batch_size, PATCH, PATCH, PATCH))
+    masks = np.ones((batch_size, 4), bool)
+    masks[0, :2] = [True, False]
+    batch = {
+        "x": jnp.asarray(rng.standard_normal(
+            (batch_size, PATCH, PATCH, PATCH, 4)), jnp.float32),
+        "target": jnp.asarray(np.eye(4, dtype=np.float32)[lab]),
+        "mask": jnp.asarray(masks),
+    }
+    beta = jnp.ones((4,), jnp.float32)
+    w = jnp.ones((4,), jnp.float32)
+    temp = jnp.asarray(4.0, jnp.float32)
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, m = step(params, opt_state, batch, beta, w, temp,
+                                key, False)  # compile + warmup
+    assert np.isfinite(float(m["loss"]))
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        key, sub = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state, batch, beta, w, temp,
+                                    sub, False)
+    _ = float(m["loss"])
+    rate = n / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "passion_train_step",
+        "value": round(rate, 4),
+        "unit": (f"steps/sec/chip (mmFormer 80^3 batch={batch_size}, "
+                 "use_passion, 5-pass fused step + AdamW)"),
+        "vs_baseline": round(rate * batch_size / REF_TRAIN_SAMPLES_PER_SEC, 3),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        _bench_train()
+    elif "--single" in sys.argv:
+        _bench_single()
+    else:
+        _bench_sweep()

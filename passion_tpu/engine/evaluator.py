@@ -114,6 +114,7 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
     order = list(zip(list(masks)[::-1], list(mask_names)[::-1]))
     rows = {name: [] for _, name in order}
     scores = {name: (AverageMeter(), AverageMeter()) for _, name in order}
+    sweep = hasattr(infer_volume, "sweep_labels")
     fast = hasattr(infer_volume, "infer_labels")
     n_batches = len(test_loader) if hasattr(test_loader, "__len__") else None
 
@@ -123,9 +124,18 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
         names = batch["name"]
         prepared = [infer_volume.prepare(x[b]) for b in range(x.shape[0])] \
             if fast else None
+        # mask-independent window features computed ONCE per case and
+        # reused by all 15 fusion passes (SlidingWindowSweep)
+        fts = [infer_volume.encode_case(params, prepared[b])
+               for b in range(x.shape[0])] if sweep else None
         for mask, mname in order:
             mask = np.asarray(mask, bool)
-            if fast:
+            if sweep:
+                pred_lab = np.stack([
+                    infer_volume.infer_labels_masked(params, prepared[b],
+                                                     fts[b], mask)
+                    for b in range(x.shape[0])])
+            elif fast:
                 pred_lab = np.stack([
                     infer_volume.infer_labels(params, prepared[b], mask)
                     for b in range(x.shape[0])])

@@ -158,6 +158,24 @@ class RawGeneralConv3dParams(nn.Module):
                                name="Conv3d_0")()
 
 
+class FusionPreNormRawParams(nn.Module):
+    """Param-tree twin of `FusionPreNorm` (3x GeneralConv3dPreNorm with
+    kernel sizes 1, 3, 1) returning the raw (kernel, bias) pairs."""
+
+    in_channel: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.in_channel
+        return (
+            RawGeneralConv3dParams(c, self.in_features, 1,
+                                   name="GeneralConv3dPreNorm_0")(),
+            RawGeneralConv3dParams(c, c, 3, name="GeneralConv3dPreNorm_1")(),
+            RawGeneralConv3dParams(c, c, 1, name="GeneralConv3dPreNorm_2")(),
+        )
+
+
 class GeneralConv3d(nn.Module):
     """conv3d -> InstanceNorm -> LeakyReLU(0.2) (blocks.py:354-370)."""
 

@@ -36,6 +36,7 @@ from passion_tpu import losses
 from passion_tpu.models.layers import (
     Conv3d,
     FusionPreNorm,
+    FusionPreNormRawParams,
     GeneralConv3dPreNorm,
     RawConv3dParams,
     RawGeneralConv3dParams,
@@ -47,7 +48,7 @@ from passion_tpu.models.layers import (
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
 from passion_tpu.ops import s2d
-from passion_tpu.ops.resize import upsample_trilinear
+from passion_tpu.ops.resize import upsample2_trilinear_s2d, upsample_trilinear
 
 NUM_MODALS = 4
 TRANSFORMER_DIM = 512
@@ -95,7 +96,9 @@ class GroupedEncoder(nn.Module):
             x2 = leaky_relu(s2d.instance_norm_s2d(x1s))
             x2 = s2d.s2d_conv(s2d.s2d_pad(x2, right=False),
                               s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
-            x1 = s2d.depth_to_space(x1s)
+            # x1 STAYS in space-to-depth layout end-to-end: the fusion
+            # decoder's scale-1 stage consumes it directly (is_s2d_scale1).
+            x1 = x1s
         else:
             x1 = Conv3d(c * g, groups=g, name="e1_c1")(x)  # bare conv (mmformer.py:28)
             x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
@@ -180,15 +183,40 @@ class DecoderFuse(nn.Module):
             GeneralConv3dPreNorm(c * 2, name="d2_c2")(
                 jnp.concatenate([de_x2, de_x3], axis=-1)))
         pred1 = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_d1")(de_x2_f)
-        de_x2 = GeneralConv3dPreNorm(c, name="d1_c1")(
-            upsample_trilinear(de_x2_f, 2))
 
-        de_x1 = FusionPreNorm(c, name="RFM1")(x1)
-        de_x1_f = GeneralConv3dPreNorm(c, k_size=1, padding=0, name="d1_out")(
-            GeneralConv3dPreNorm(c, name="d1_c2")(
-                jnp.concatenate([de_x1, de_x2], axis=-1)))
+        if x1.shape[1] == x2.shape[1]:
+            # x1 arrives in space-to-depth layout: the whole scale-1 stage
+            # runs on the block grid with dense channels (ops/s2d.py) —
+            # exact polyphase execution, identical param tree (raw twins).
+            kd1c1 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c1")()
+            rfm1 = FusionPreNormRawParams(c, c * 4, name="RFM1")()
+            kd1c2 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c2")()
+            kd1out = RawGeneralConv3dParams(c, c, 1, name="d1_out")()
+            kseg, bseg = RawConv3dParams(self.num_cls, c, 1,
+                                         name="seg_layer")()
+            de_x2s = s2d.prenorm_conv_s2d(
+                upsample2_trilinear_s2d(de_x2_f), *kd1c1, k_size=3)
+            de_x1s = x1
+            for (k, b), ksz in zip(rfm1, (1, 3, 1)):
+                de_x1s = s2d.prenorm_conv_s2d(de_x1s, k, b, k_size=ksz)
+            h = s2d.prenorm_conv_s2d(
+                jnp.concatenate([de_x1s, de_x2s], axis=-1), *kd1c2, k_size=3)
+            de_x1_fs = s2d.prenorm_conv_s2d(h, *kd1out, k_size=1)
+            logits = s2d.depth_to_space(
+                s2d.s2d_conv(de_x1_fs, s2d.s2d_conv1_kernel(kseg),
+                             s2d.s2d_bias(bseg)))
+            de_x1_f = s2d.depth_to_space(de_x1_fs)
+        else:
+            de_x2 = GeneralConv3dPreNorm(c, name="d1_c1")(
+                upsample_trilinear(de_x2_f, 2))
+            de_x1 = FusionPreNorm(c, name="RFM1")(x1)
+            de_x1_f = GeneralConv3dPreNorm(c, k_size=1, padding=0,
+                                           name="d1_out")(
+                GeneralConv3dPreNorm(c, name="d1_c2")(
+                    jnp.concatenate([de_x1, de_x2], axis=-1)))
+            logits = Conv3d(self.num_cls, k_size=1, padding=0,
+                            name="seg_layer")(de_x1_f)
 
-        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de_x1_f)
         return logits, (pred1, pred2, pred3, pred4), (
             de_x1_f, de_x2_f, de_x3_f, de_x4_f, de_x5_f)
 
@@ -227,6 +255,7 @@ class FusePath(nn.Module):
         b, _, t, d = intra_stack.shape
         s = round(t ** (1 / 3))
         tokens = mask_modalities(intra_stack, mask).reshape(b, NUM_MODALS * t, d)
+        x1_s2d = feats[0].shape[1] == feats[1].shape[1]
         inter = Transformer(self.depth, self.heads, self.mlp_dim,
                             name="multimodal_transformer")(
             tokens, pos_all, deterministic)
@@ -235,7 +264,9 @@ class FusePath(nn.Module):
         x5 = inter.reshape(b, s, s, s, d * NUM_MODALS)
         x5 = nn.Conv(self.basic_dims * 16 * NUM_MODALS, (1, 1, 1),
                      name="multimodal_decode_conv")(x5)
-        flat = [mask_channels(f, mask) for f in feats]
+        flat = [(s2d.mask_channels_s2d(f, mask) if k == 0 and x1_s2d
+                 else mask_channels(f, mask))
+                for k, f in enumerate(feats)]
         return DecoderFuse(self.num_cls, self.basic_dims, name="decoder_fuse")(
             *flat, x5)
 
@@ -284,13 +315,18 @@ class MMFormer(nn.Module):
 
     def encode(self, x, mask, deterministic: bool = True):
         """Returns (flat scales x1..x5 (B,...,4*C_k), intra_stack
-        (B,4,T,512), pos_all (1,4T,512))."""
+        (B,4,T,512), pos_all (1,4T,512)). x1 is in space-to-depth layout
+        when the polyphase path is active (block grid == x2's grid)."""
         idt = self.mask_type != "pdt"
         if idt:
             x = x * mask.astype(x.dtype)[:, None, None, None, :]
         feats = self.encoder(x)
         if idt:
-            feats = tuple(mask_channels(f, mask) for f in feats)
+            feats = tuple(
+                (s2d.mask_channels_s2d(f, mask)
+                 if k == 0 and f.shape[1] == feats[1].shape[1]
+                 else mask_channels(f, mask))
+                for k, f in enumerate(feats))
 
         x5 = feats[4]  # (B, s, s, s, 4*16c)
         b, s = x5.shape[0], x5.shape[1]
@@ -316,6 +352,46 @@ class MMFormer(nn.Module):
                                       deterministic)
         return jax.nn.softmax(logits[0], axis=-1)
 
+    def _pos_all(self):
+        t = self.pos.shape[2]
+        return jnp.moveaxis(self.pos, 1, 0).reshape(
+            1, NUM_MODALS * t, self.trans_dim)
+
+    def features(self, x, deterministic: bool = True):
+        """Mask-INDEPENDENT window features for the 15-mask sweep.
+
+        Encoders are modality-grouped and the IntraFormer is per-modality,
+        so neither depends on the mask; FusePath applies ALL masking itself
+        (tokens via mask_modalities, conv skips via mask_channels), hence
+        `fuse_inference(features(x), m) == __call__(x, m)` for every mask m.
+        """
+        feats = self.encoder(x)
+        x5 = feats[4]
+        b, s = x5.shape[0], x5.shape[1]
+        t = s ** 3
+        if t != self.pos.shape[2]:
+            raise ValueError(
+                f"input bottleneck has {t} tokens but pos embedding was sized "
+                f"for patch_size={self.patch_size}")
+        tok = self.encode_convs(x5).reshape(b, t, NUM_MODALS, self.trans_dim)
+        tok = tok.transpose(0, 2, 1, 3)
+        intra = self.intra_transformers(tok, self.pos, deterministic)
+        # x1 is stored in space-to-depth layout: dense TPU tiles (a stored
+        # conventional (80^3, 32) bf16 tensor tile-pads 4x in HBM).
+        x1 = feats[0]
+        if x1.shape[1] != feats[1].shape[1]:  # encoder returned conventional
+            x1 = s2d.space_to_depth(x1)
+        return {"x1s": x1, "rest": tuple(feats[1:4]), "intra": intra}
+
+    def fuse_inference(self, fts, mask, deterministic: bool = True):
+        """InterFormer + fusion decode + softmax from precomputed features.
+        x1 stays in S2D layout straight into the fusion decoder."""
+        feats = (fts["x1s"],) + tuple(fts["rest"])
+        logits, _, _ = self.fuse_path(feats, fts["intra"],
+                                      self._pos_all(), mask[None],
+                                      deterministic)
+        return jax.nn.softmax(logits[0], axis=-1)
+
     def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
                      deterministic: bool = True):
         """Training forward with in-graph per-sample losses
@@ -329,7 +405,10 @@ class MMFormer(nn.Module):
         fuse_logits, prms, de_feats = self.fuse_path(
             feats[:4], intra, pos_all, masks, deterministic)
 
-        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
+        fconv = list(feats)
+        if fconv[0].shape[1] == fconv[1].shape[1]:  # x1 in S2D layout
+            fconv[0] = s2d.depth_to_space(fconv[0])
+        per_mod = [split_modalities(f) for f in fconv]  # [scale][modality]
         sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(5)])
                      for m in range(NUM_MODALS)]
 

@@ -226,6 +226,29 @@ class RFNet(nn.Module):
         logits, _, _ = self.decoder_fuse(x1, x2, x3, x4, mask[None])
         return jax.nn.softmax(logits[0], axis=-1)
 
+    def features(self, x, deterministic: bool = True):
+        """Mask-INDEPENDENT window features for the 15-mask sweep.
+
+        The per-modality grouped encoder computes each modality's features
+        from its own channels only, and the fusion decoder re-masks its
+        inputs internally (PRM generators and RFM take `mask`), so
+        `fuse_inference(features(x), m) == __call__(x, m)` for every mask m
+        — the sweep encodes once and fuses 15x (vs 15 full forwards,
+        reference train.py:589-604).
+
+        x1 is stored in space-to-depth layout (dense TPU tiles vs 4x
+        padding for a (80^3, 32) tail); the encoder's d2s cancels against
+        it inside one jit."""
+        x1, x2, x3, x4 = self.encoder(x)
+        return {"x1s": s2d.space_to_depth(x1), "rest": (x2, x3, x4)}
+
+    def fuse_inference(self, fts, mask, deterministic: bool = True):
+        """Fusion decode + softmax from precomputed `features`."""
+        x1 = s2d.depth_to_space(fts["x1s"])
+        x2, x3, x4 = fts["rest"]
+        logits, _, _ = self.decoder_fuse(x1, x2, x3, x4, mask[None])
+        return jax.nn.softmax(logits[0], axis=-1)
+
     def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
                      deterministic: bool = True):
         """Training forward with in-graph per-sample losses (rfnet.py:246-379).

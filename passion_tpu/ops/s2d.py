@@ -121,6 +121,27 @@ def s2d_conv3_stride2_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     return full.reshape(2, 2, 2, groups * ci * 8, groups * co)
 
 
+def s2d_conv1_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """Canonical 1x1x1 (grouped) kernel -> phase-diagonal S2D kernel.
+
+    A pointwise conv mixes channels within each voxel, i.e. within each
+    (block, phase): W[(ci,q),(co,p)] = w[ci,co] * delta(q,p).
+    w: (1, 1, 1, Ci, G*Co) -> (1, 1, 1, G*Ci*8, G*Co*8).
+    """
+    _, _, _, ci, gco = w.shape
+    co = gco // groups
+    wg = w.reshape(ci, groups, co).transpose(1, 0, 2)  # (G, Ci, Co)
+    full = jnp.zeros((1, 1, 1, groups, ci, 2, 2, 2, groups, co, 2, 2, 2),
+                     w.dtype)
+    for g in range(groups):
+        for px in (0, 1):
+            for py in (0, 1):
+                for pz in (0, 1):
+                    full = full.at[0, 0, 0, g, :, px, py, pz,
+                                   g, :, px, py, pz].set(wg[g])
+    return full.reshape(1, 1, 1, groups * ci * 8, groups * co * 8)
+
+
 def s2d_bias(b: jnp.ndarray) -> jnp.ndarray:
     """Canonical per-channel bias -> phase-minor S2D bias (repeat 8x)."""
     return jnp.repeat(b, 8)
@@ -175,6 +196,25 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     var = jnp.mean(jnp.square(v - mean), axis=axes, keepdims=True)
     y = (v - mean) * jax.lax.rsqrt(var + eps)
     return y.reshape(x.shape).astype(x.dtype)
+
+
+def prenorm_conv_s2d(x, kernel, bias, k_size: int, groups: int = 1):
+    """GeneralConv3dPreNorm (IN -> LeakyReLU(0.2) -> conv) on S2D tensors."""
+    y = jax.nn.leaky_relu(instance_norm_s2d(x), negative_slope=0.2)
+    if k_size == 3:
+        return s2d_conv(s2d_pad(y), s2d_conv3_kernel(kernel, groups),
+                        s2d_bias(bias))
+    return s2d_conv(y, s2d_conv1_kernel(kernel, groups), s2d_bias(bias))
+
+
+def conv_postnorm_s2d(x, kernel, bias, k_size: int, groups: int = 1):
+    """GeneralConv3d (conv -> IN -> LeakyReLU(0.2)) on S2D tensors."""
+    if k_size == 3:
+        y = s2d_conv(s2d_pad(x), s2d_conv3_kernel(kernel, groups),
+                     s2d_bias(bias))
+    else:
+        y = s2d_conv(x, s2d_conv1_kernel(kernel, groups), s2d_bias(bias))
+    return jax.nn.leaky_relu(instance_norm_s2d(y), negative_slope=0.2)
 
 
 def mask_channels_s2d(x: jnp.ndarray, mask: jnp.ndarray,

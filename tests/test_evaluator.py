@@ -66,3 +66,20 @@ def test_full_sweep_csv_schema(eval_setup, tmp_path):
     assert rows[1] == ["flairt1cet1t2"]  # reversed order: full mask first
     assert len(rows) == 1 + 2 * 2
     assert np.isfinite(avg_dice).all() and np.isfinite(avg_hd95).all()
+
+
+def test_sweep_engine_path_matches_plain_engine(eval_setup, tmp_path):
+    """run_test_sweep through the feature-reusing SlidingWindowSweep must
+    score identically to the plain per-mask engine."""
+    from passion_tpu.engine.sliding_window import SlidingWindowSweep
+    from passion_tpu.models.rfnet import RFNet
+
+    loader, engine, params, _ = eval_setup
+    model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
+    sweep_engine = SlidingWindowSweep(model, 4, PATCH, window_batch=4)
+    ref = run_test_sweep(loader, engine, params,
+                         masks=MASK_ARRAY[13:], mask_names=MASK_NAMES[13:])
+    got = run_test_sweep(loader, sweep_engine, params,
+                         masks=MASK_ARRAY[13:], mask_names=MASK_NAMES[13:])
+    np.testing.assert_allclose(got[0], ref[0], atol=1e-4)  # dice (bf16 path)
+    np.testing.assert_allclose(got[1], ref[1], atol=0.5)   # hd95

@@ -83,6 +83,18 @@ def test_instance_norm_s2d_exact(x):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_s2d_conv1_exact(rng, x):
+    from passion_tpu.ops.s2d import s2d_conv1_kernel
+
+    w = jnp.asarray(rng.standard_normal((1, 1, 1, 4, 6)) * 0.3, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+    got = depth_to_space(s2d_conv(space_to_depth(x), s2d_conv1_kernel(w)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_upsample2_s2d_exact(rng):
     from passion_tpu.ops.resize import upsample2_trilinear_s2d, upsample_trilinear
 

@@ -1,0 +1,65 @@
+"""Mask-independent feature reuse: the 15-mask sweep must be EXACTLY the
+single-mask inference path per mask (sliding_window.SlidingWindowSweep)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from passion_tpu.engine.sliding_window import (
+    SlidingWindowInference,
+    SlidingWindowSweep,
+)
+from passion_tpu.masks import MASK_ARRAY
+from passion_tpu.models import get_model
+
+PATCH = 16
+
+SOME_MASKS = [
+    [True, True, True, True],
+    [False, True, False, False],
+    [True, False, True, False],
+    [False, True, True, True],
+]
+
+
+def _make(name, rng):
+    model = get_model(name, mask_type="idt", patch_size=PATCH, **(
+        {"basic_dims": 4, "trans_dim": 32, "mlp_dim": 64, "heads": 4}
+        if name == "mmformer" else {"basic_dims": 4}))
+    x = jnp.asarray(rng.standard_normal((2, PATCH, PATCH, PATCH, 4)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.ones((2, 4), bool))
+    return model, params, x
+
+
+@pytest.mark.parametrize("name", ["rfnet", "mmformer"])
+def test_features_fuse_matches_call(name, rng):
+    model, params, x = _make(name, rng)
+    fts = model.apply(params, x, method=type(model).features)
+    for mask in SOME_MASKS:
+        m = jnp.asarray([mask, mask])
+        ref = np.asarray(model.apply(params, x, m))
+        got = np.asarray(model.apply(params, fts, m,
+                                     method=type(model).fuse_inference))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"{name} mask={mask}")
+
+
+@pytest.mark.parametrize("name", ["rfnet"])
+def test_sweep_engine_matches_single_mask_engine(name, rng):
+    model, params, _ = _make(name, rng)
+    vol = rng.standard_normal((24, 24, 20, 4)).astype(np.float32)
+
+    single = SlidingWindowInference(model.apply, num_cls=4, patch=PATCH,
+                                    window_batch=4,
+                                    compute_dtype=jnp.float32)
+    sweep = SlidingWindowSweep(model, num_cls=4, patch=PATCH,
+                               window_batch=4, compute_dtype=jnp.float32)
+    prepared = sweep.prepare(vol)
+    masks = [np.asarray(m) for m in (MASK_ARRAY[14], MASK_ARRAY[0],
+                                     MASK_ARRAY[9])]
+    labels = sweep.sweep_labels(params, prepared, masks)
+    for m, lab in zip(masks, labels):
+        ref = single.infer_labels(params, single.prepare(vol), m)
+        np.testing.assert_array_equal(lab, ref)

@@ -33,7 +33,7 @@ def main(argv=None):
     from passion_tpu.data.datasets import BratsTest, BratsTrainIDT
     from passion_tpu.data.loader import PrefetchLoader
     from passion_tpu.engine.evaluator import run_test_sweep
-    from passion_tpu.engine.sliding_window import SlidingWindowInference
+    from passion_tpu.engine.sliding_window import make_engine
     from passion_tpu.engine.train_loop import ScalarWriter, fit
     from passion_tpu.models import get_model
 
@@ -65,8 +65,8 @@ def main(argv=None):
                          root=cfg.dataset_path, test_file="test.txt")
     test_loader = PrefetchLoader(test_set, batch_size=1, shuffle=False,
                                  num_threads=1)
-    engine = SlidingWindowInference(model.apply, cfg.num_cls, cfg.patch_size,
-                                    window_batch=cfg.window_batch)
+    engine = make_engine(model, cfg.num_cls, cfg.patch_size,
+                         window_batch=cfg.window_batch)
     csv_name = os.path.join(cfg.savepath, f"{cfg.model}.csv")
     logging.info("###########test last epoch model###########")
     avg_dice, avg_hd95, _ = run_test_sweep(
