@@ -106,7 +106,7 @@ def _bench_single():
     }))
 
 
-def _bench_train(batch_size: int = 2):
+def _bench_train(batch_size: int = 1):  # reference-canonical bs=1 (train.sh)
     import jax
     import jax.numpy as jnp
 

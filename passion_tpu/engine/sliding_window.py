@@ -203,13 +203,58 @@ class SlidingWindowSweep(SlidingWindowInference):
 
     def __init__(self, model, num_cls: int = 4, patch: int = 80,
                  window_batch: int = 8, spatial_bucket: int = 16,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis — window
+        chunks are sharded across devices (each device encodes/fuses its
+        share; partial volume accumulators are psum-reduced over ICI), so a
+        slice divides the 112,500-forward evaluation sweep (SURVEY §5
+        window batching; replaces the reference loop predict.py:209-215)."""
         self.model = model
+        self.mesh = mesh
         super().__init__(model.apply, num_cls, patch, window_batch,
                          spatial_bucket, compute_dtype)
-        self._jit_encode = jax.jit(self._encode_chunks)
-        self._jit_fuse = jax.jit(self._fuse_run,
-                                 static_argnames=("vol_shape3",))
+        if mesh is None:
+            self._jit_encode = jax.jit(self._encode_chunks)
+            self._jit_fuse = jax.jit(self._fuse_run,
+                                     static_argnames=("vol_shape3",))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            d = mesh.size
+            shard_chunks = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+
+            def enc(params, xpad, coords):
+                # coords (D, NcD, wb, 3) sharded over devices on axis 0
+                def local(params, xpad, coords):
+                    fts = self._encode_chunks(params, xpad, coords[0])
+                    return jax.tree_util.tree_map(lambda v: v[None], fts)
+
+                return jax.shard_map(
+                    local, mesh=mesh, in_specs=(P(), P(), P("data")),
+                    out_specs=P("data"))(params, xpad, coords)
+
+            def fuse(params, fts, coords, valid, mask, vol_shape3):
+                def local(params, fts, coords, valid, mask):
+                    fts = jax.tree_util.tree_map(lambda v: v[0], fts)
+                    probs_sum = self._fuse_run(
+                        params, fts, coords[0], valid[0], mask, vol_shape3,
+                        normalize=False)
+                    acc, wgt = probs_sum
+                    acc = jax.lax.psum(acc, "data")
+                    wgt = jax.lax.psum(wgt, "data")
+                    return acc / jnp.maximum(wgt, 1e-8)
+
+                return jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"), P()),
+                    out_specs=P())(params, fts, coords, valid, mask)
+
+            self._jit_encode = jax.jit(enc)
+            self._jit_fuse = jax.jit(fuse, static_argnames=("vol_shape3",))
+            self._mesh_size = d
+            self._shard_chunks = shard_chunks
+            self._rep = rep
 
     def _cast(self, tree):
         return jax.tree_util.tree_map(
@@ -235,14 +280,23 @@ class SlidingWindowSweep(SlidingWindowInference):
         _, fts = jax.lax.scan(step, None, coords)
         return fts
 
-    def _fuse_run(self, params, fts, coords, valid, mask, vol_shape3):
+    def _fuse_run(self, params, fts, coords, valid, mask, vol_shape3,
+                  normalize: bool = True):
         """Coverage-averaged softmax probs for ONE mask from stored
-        features. vol_shape3: static (Hp, Wp, Zp)."""
+        features. vol_shape3: static (Hp, Wp, Zp). With normalize=False
+        returns the raw (acc, wgt) partial sums (mesh path psum-reduces
+        them across devices before dividing)."""
         p, c = self.patch, self.num_cls
         wb = coords.shape[1]
         params = self._cast(params)
         acc = jnp.zeros(tuple(vol_shape3) + (c,), jnp.float32)
         wgt = jnp.zeros(tuple(vol_shape3) + (1,), jnp.float32)
+        if not normalize:
+            # running per-device inside shard_map: the scan carry becomes
+            # device-varying after the first chunk, so mark it varying
+            # up front (jax shard_map VMA rules)
+            acc = jax.lax.pcast(acc, ("data",), to="varying")
+            wgt = jax.lax.pcast(wgt, ("data",), to="varying")
         mask_b = jnp.broadcast_to(mask[None], (wb, mask.shape[0]))
         ones = jnp.ones((p, p, p, 1), jnp.float32)
 
@@ -268,7 +322,34 @@ class SlidingWindowSweep(SlidingWindowInference):
 
         (acc, wgt), _ = jax.lax.scan(chunk_step, (acc, wgt),
                                      (coords, valid, fts))
+        if not normalize:
+            return acc, wgt
         return acc / jnp.maximum(wgt, 1e-8)
+
+    def prepare(self, x):
+        prepared = super().prepare(x)
+        if self.mesh is None:
+            return prepared
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        d = self.mesh.size
+        coords = np.asarray(prepared["coords"])
+        valid = np.asarray(prepared["valid"])
+        nc, wb = valid.shape
+        ncp = _round_up(nc, d)
+        if ncp != nc:
+            pad_c = np.zeros((ncp - nc, wb, 3), coords.dtype)
+            pad_v = np.zeros((ncp - nc, wb), valid.dtype)
+            coords = np.concatenate([coords, pad_c], axis=0)
+            valid = np.concatenate([valid, pad_v], axis=0)
+        sh = NamedSharding(self.mesh, P("data"))
+        prepared["coords"] = jax.device_put(
+            coords.reshape(d, ncp // d, wb, 3), sh)
+        prepared["valid"] = jax.device_put(
+            valid.reshape(d, ncp // d, wb), sh)
+        prepared["xpad"] = jax.device_put(
+            np.asarray(prepared["xpad"]), NamedSharding(self.mesh, P()))
+        return prepared
 
     def encode_case(self, params, prepared):
         """Run the mask-independent encode for all windows of a prepared

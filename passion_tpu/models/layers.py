@@ -158,6 +158,86 @@ class RawGeneralConv3dParams(nn.Module):
                                name="Conv3d_0")()
 
 
+class _EmbeddingLayerRawParams(nn.Module):
+    """Param-tree twin of `_EmbeddingLayer` (general_conv3d x3:
+    4C -> C/4 -> C/4 -> C, blocks.py:376-379)."""
+
+    in_channel: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.in_channel
+        return (
+            RawGeneralConv3dParams(c // 4, 4 * c, 1, name="GeneralConv3d_0")(),
+            RawGeneralConv3dParams(c // 4, c // 4, 3, name="GeneralConv3d_1")(),
+            RawGeneralConv3dParams(c, c // 4, 1, name="GeneralConv3d_2")(),
+        )
+
+
+class PRMGeneratorRawParams(nn.Module):
+    """Param-tree twin of `PRMGenerator` (embedding + 2-conv PRM head)."""
+
+    in_channel: int
+    num_cls: int = 4
+
+    @nn.compact
+    def __call__(self):
+        c = self.in_channel
+        emb = _EmbeddingLayerRawParams(c, name="embedding_layer")()
+        head = RawGeneralConv3dParams(16, 2 * c, 1, name="GeneralConv3d_0")()
+        out = RawConv3dParams(self.num_cls, 16, 1, name="Conv3d_0")()
+        return emb, head, out
+
+
+class RegionAwareModalFusionS2D(nn.Module):
+    """`RegionAwareModalFusion` executed in the space-to-depth domain —
+    exact math, identical param tree (raw conv twins + ModalFusionS2D
+    sharing the canonical Dense paths).
+
+    __call__(x1s (B, blocks, 4C*8) MASKED S2D features,
+             prm_soft (B, blocks, K*8) S2D softmax probs (class, phase),
+             -) -> (B, blocks, C*8)."""
+
+    in_channel: int
+    num_cls: int = 4
+
+    @nn.compact
+    def __call__(self, y, prm_soft):
+        from passion_tpu.ops import s2d as _s2d
+
+        c = self.in_channel
+        rf_ks = (
+            RawGeneralConv3dParams(c, self.num_cls * c, 1,
+                                   name="region_fusion_c1")(),
+            RawGeneralConv3dParams(c, c, 3, name="region_fusion_c2")(),
+            RawGeneralConv3dParams(c // 2, c, 1, name="region_fusion_c3")(),
+        )
+        sc_ks = (
+            RawGeneralConv3dParams(c, self.num_cls * c, 1,
+                                   name="GeneralConv3d_0")(),
+            RawGeneralConv3dParams(c, c, 3, name="GeneralConv3d_1")(),
+            RawGeneralConv3dParams(c // 2, c, 1, name="GeneralConv3d_2")(),
+        )
+        ys = [y[..., m * c * 8:(m + 1) * c * 8] for m in range(NUM_MODALS)]
+        region_fused = []
+        for r in range(self.num_cls):
+            pr = prm_soft[..., r * 8:(r + 1) * 8]  # (B, blocks, 8)
+            region_feat = [
+                (ym.reshape(ym.shape[:4] + (c, 8)) * pr[..., None, :]
+                 ).reshape(ym.shape)
+                for ym in ys
+            ]
+            region_fused.append(ModalFusionS2D(name=f"modal_fusion_{r}")(
+                region_feat, pr))
+        rf = jnp.concatenate(region_fused, axis=-1)
+        for (k, b), ksz in zip(rf_ks, (1, 3, 1)):
+            rf = _s2d.conv_postnorm_s2d(rf, k, b, k_size=ksz)
+        sc = y
+        for (k, b), ksz in zip(sc_ks, (1, 3, 1)):
+            sc = _s2d.conv_postnorm_s2d(sc, k, b, k_size=ksz)
+        return jnp.concatenate([rf, sc], axis=-1)
+
+
 class FusionPreNormRawParams(nn.Module):
     """Param-tree twin of `FusionPreNorm` (3x GeneralConv3dPreNorm with
     kernel sizes 1, 3, 1) returning the raw (kernel, bias) pairs."""
@@ -563,6 +643,32 @@ class ModalFusion(nn.Module):
         feat_avg = jnp.concatenate(
             [jnp.mean(x, axis=(1, 2, 3)) for x in xs], axis=-1
         ) / prm_avg[:, None]  # (B, M*C) modality-major
+        vec = jnp.concatenate([feat_avg, prm_avg[:, None]], axis=-1)
+        w = nn.Dense(128, kernel_init=conv_kernel_init)(vec)
+        w = leaky_relu(w)
+        w = nn.Dense(NUM_MODALS, kernel_init=conv_kernel_init)(w)
+        w = jax.nn.sigmoid(w)  # (B, M)
+        out = xs[0] * w[:, 0, None, None, None, None]
+        for m in range(1, NUM_MODALS):
+            out = out + xs[m] * w[:, m, None, None, None, None]
+        return out
+
+
+class ModalFusionS2D(nn.Module):
+    """`ModalFusion` on space-to-depth tensors — identical params
+    (Dense_0/Dense_1) and identical math: per-channel means reduce over
+    (space, phases), and the learned per-modality sigmoid weights rescale
+    the S2D tensors elementwise."""
+
+    @nn.compact
+    def __call__(self, xs, prm_region):
+        """xs: list of M S2D tensors (B, hb, wb, zb, C*8); prm_region:
+        (B, hb, wb, zb, 8) — one class's phase block."""
+        b = xs[0].shape[0]
+        prm_avg = jnp.mean(prm_region, axis=(1, 2, 3, 4)) + 1e-7  # (B,)
+        feat_avg = jnp.concatenate(
+            [jnp.mean(x.reshape(x.shape[:4] + (-1, 8)), axis=(1, 2, 3, 5))
+             for x in xs], axis=-1) / prm_avg[:, None]  # (B, M*C)
         vec = jnp.concatenate([feat_avg, prm_avg[:, None]], axis=-1)
         w = nn.Dense(128, kernel_init=conv_kernel_init)(vec)
         w = leaky_relu(w)

@@ -32,10 +32,14 @@ from passion_tpu.models.layers import (
     MaskedTransformer,
     MultiCrossToken,
     PRMFusion,
+    RawGeneralConv3dParams,
+    leaky_relu,
     mask_channels,
     split_modalities,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
+from passion_tpu.ops import s2d
+from passion_tpu.ops.norm import instance_norm
 from passion_tpu.ops.resize import upsample_nearest, upsample_trilinear
 
 NUM_MODALS = 4
@@ -46,9 +50,16 @@ DEPTH = 3
 
 class GroupedEncoder(nn.Module):
     """5-stage post-norm conv encoder for all 4 modalities at once
-    (m2ftrans.py:63-103), grouped per modality. (B,H,W,Z,4) -> flat scales."""
+    (m2ftrans.py:63-103), grouped per modality. (B,H,W,Z,4) -> flat scales.
+
+    With `use_s2d` (default), the 80-cube stage-1 block and the stage-2
+    entry run in the space-to-depth polyphase domain (ops/s2d.py) — exact,
+    identical param tree. x1 is converted back to conventional layout at
+    exit because M2FTrans' weight-attention decoder consumes it spatially.
+    """
 
     basic_dims: int = 8
+    use_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -57,10 +68,30 @@ class GroupedEncoder(nn.Module):
         def gc(feat, **kw):
             return GeneralConv3d(feat * g, groups=g, **kw)
 
-        x1 = gc(c, name="e1_c1")(x)
-        x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
+        if self.use_s2d and all(d % 2 == 0 for d in x.shape[1:4]):
+            k1, b1 = RawGeneralConv3dParams(c * g, 1, name="e1_c1")()
+            k2, b2 = RawGeneralConv3dParams(c * g, c, name="e1_c2")()
+            k3, b3 = RawGeneralConv3dParams(c * g, c, name="e1_c3")()
+            ks, bs = RawGeneralConv3dParams(c * 2 * g, c, name="e2_c1")()
+
+            def gen_s2d(xin, k, b):
+                return s2d.conv_postnorm_s2d(xin, k, b, k_size=3, groups=g)
+
+            xs = s2d.space_to_depth(x)
+            x1s = gen_s2d(xs, k1, b1)
+            x1s = x1s + gen_s2d(gen_s2d(x1s, k2, b2), k3, b3)
+            x2 = s2d.s2d_conv(s2d.s2d_pad(x1s, right=False),
+                              s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
+            x2 = leaky_relu(instance_norm(x2))
+            x1 = s2d.depth_to_space(x1s)
+        else:
+            x1 = gc(c, name="e1_c1")(x)
+            x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
+            x2 = gc(c * 2, stride=2, name="e2_c1")(x1)
         outs = [x1]
-        for i, mult in enumerate((2, 4, 8, 16), start=2):
+        x2 = x2 + gc(c * 2, name="e2_c3")(gc(c * 2, name="e2_c2")(x2))
+        outs.append(x2)
+        for i, mult in enumerate((4, 8, 16), start=3):
             xi = gc(c * mult, stride=2, name=f"e{i}_c1")(outs[-1])
             xi = xi + gc(c * mult, name=f"e{i}_c3")(gc(c * mult, name=f"e{i}_c2")(xi))
             outs.append(xi)
@@ -241,6 +272,7 @@ class M2FTrans(nn.Module):
     heads: int = NUM_HEADS
     mlp_dim: int = MLP_DIM
     depth: int = DEPTH
+    use_s2d: bool = True  # polyphase scale-1 execution (ops/s2d.py)
 
     # Deep supervision at full..1/16 resolution (m2ftrans.py:499-504,652-656).
     PRM_WEIGHTS = (0.5, 0.25, 0.125, 0.0625, 0.03125)
@@ -249,11 +281,13 @@ class M2FTrans(nn.Module):
     def setup(self):
         e = self.basic_dims * 16
         t = (self.patch_size // 16) ** 3
-        self.encoder = GroupedEncoder(self.basic_dims, name="encoders")
-        self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
-                                      name="decoder_sep")
+        self.encoder = GroupedEncoder(self.basic_dims, self.use_s2d,
+                                      name="encoders")
+        # remat: see mmformer.MMFormer.setup
+        self.decoder_sep = nn.remat(DecoderSep)(
+            self.num_cls, self.basic_dims, name="decoder_sep")
         self.fuse_path = nn.vmap(
-            FusePath,
+            nn.remat(FusePath, static_argnums=(5,)),  # deterministic flag
             in_axes=(None, None, None, 0, None), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False, "dropout": True},

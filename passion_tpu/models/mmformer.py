@@ -298,10 +298,14 @@ class MMFormer(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
         )(self.depth, self.heads, self.mlp_dim, name="intra_transformers")
-        self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
-                                      name="decoder_sep")
+        # remat: the PASSION training forward runs FusePath 5x (real mask +
+        # 4 unimodal) and DecoderSep 4x at 80^3 — rematerializing their
+        # activations in the backward pass is what fits the step in HBM
+        # (SURVEY §7 hard-part 2).
+        self.decoder_sep = nn.remat(DecoderSep)(
+            self.num_cls, self.basic_dims, name="decoder_sep")
         self.fuse_path = nn.vmap(
-            FusePath,
+            nn.remat(FusePath, static_argnums=(5,)),  # deterministic flag
             in_axes=(None, None, None, 0, None), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False, "dropout": True},

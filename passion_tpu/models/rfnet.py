@@ -34,15 +34,18 @@ from passion_tpu.models.layers import (
     GeneralConv3d,
     PRMGenerator,
     PRMGeneratorLastStage,
+    PRMGeneratorRawParams,
+    RawConv3dParams,
     RawGeneralConv3dParams,
     RegionAwareModalFusion,
+    RegionAwareModalFusionS2D,
     leaky_relu,
     mask_channels,
     split_modalities,
 )
 from passion_tpu.ops import s2d
 from passion_tpu.ops.norm import instance_norm
-from passion_tpu.ops.resize import upsample_trilinear
+from passion_tpu.ops.resize import upsample2_trilinear_s2d, upsample_trilinear
 
 NUM_MODALS = 4
 
@@ -89,7 +92,9 @@ class GroupedEncoder(nn.Module):
             x2 = s2d.s2d_conv(s2d.s2d_pad(x1s, right=False),
                               s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
             x2 = leaky_relu(instance_norm(x2))
-            x1 = s2d.depth_to_space(x1s)
+            # x1 STAYS in space-to-depth layout end-to-end; the fusion
+            # decoder's scale-1 stage consumes it directly.
+            x1 = x1s
         else:
             x1 = gc(c, name="e1_c1")(x)
             x1 = x1 + gc(c, name="e1_c3")(gc(c, name="e1_c2")(x1))
@@ -162,17 +167,68 @@ class DecoderFuse(nn.Module):
         de_x2 = jnp.concatenate([de_x2, de_x3], axis=-1)
         de_x2 = GeneralConv3d(c * 2, k_size=1, padding=0, name="d2_out")(
             GeneralConv3d(c * 2, name="d2_c2")(de_x2))
-        de_x2 = GeneralConv3d(c, name="d1_c1")(upsample_trilinear(de_x2, 2))
 
-        prm1 = PRMGenerator(c, self.num_cls, name="prm_generator1")(de_x2, x1, mask)
-        de_x1 = RegionAwareModalFusion(c, self.num_cls, name="RFM1")(
-            x1, sg(jax.nn.softmax(prm1, axis=-1)), mask)
-        de_x1 = jnp.concatenate([de_x1, de_x2], axis=-1)
-        de_x1 = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
-            GeneralConv3d(c, name="d1_c2")(de_x1))
-
-        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de_x1)
+        if x1.shape[1] == x2.shape[1]:
+            # x1 arrives in space-to-depth layout: the whole scale-1 stage
+            # (PRM head, region-aware fusion, seg head) runs on the block
+            # grid with dense channels — exact polyphase execution,
+            # identical param tree (raw twins).
+            prm1, de_x1, de_x2, logits = self._scale1_s2d(de_x2, x1, mask, sg)
+        else:
+            de_x2 = GeneralConv3d(c, name="d1_c1")(
+                upsample_trilinear(de_x2, 2))
+            prm1 = PRMGenerator(c, self.num_cls, name="prm_generator1")(
+                de_x2, x1, mask)
+            de_x1 = RegionAwareModalFusion(c, self.num_cls, name="RFM1")(
+                x1, sg(jax.nn.softmax(prm1, axis=-1)), mask)
+            de_x1 = jnp.concatenate([de_x1, de_x2], axis=-1)
+            de_x1 = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
+                GeneralConv3d(c, name="d1_c2")(de_x1))
+            logits = Conv3d(self.num_cls, k_size=1, padding=0,
+                            name="seg_layer")(de_x1)
         return logits, (prm1, prm2, prm3, prm4), (de_x1, de_x2, de_x3, de_x4)
+
+    def _scale1_s2d(self, de_x2_prev, x1s, mask, sg):
+        """Scale-1 decoder stage in the space-to-depth domain (exact).
+
+        de_x2_prev: (B, 40-grid, 2c) conventional; x1s: (B, 40-grid, 4c*8)
+        S2D. Returns (prm1 logits, de_x1, de_x2, logits) at 80-grid
+        conventional layout — converted back via depth_to_space (cheap; the
+        heavy convs all ran dense)."""
+        c = self.basic_dims
+        kd1c1 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c1")()
+        emb, head, out = PRMGeneratorRawParams(c, self.num_cls,
+                                               name="prm_generator1")()
+        de_x2s = s2d.conv_postnorm_s2d(
+            upsample2_trilinear_s2d(de_x2_prev), *kd1c1, k_size=3)
+
+        y = s2d.mask_channels_s2d(x1s, mask)
+        e = y
+        for (k, b), ksz in zip(emb, (1, 3, 1)):
+            e = s2d.conv_postnorm_s2d(e, k, b, k_size=ksz)
+        e = s2d.conv_postnorm_s2d(
+            jnp.concatenate([de_x2s, e], axis=-1), *head, k_size=1)
+        prm1s = s2d.s2d_conv(e, s2d.s2d_conv1_kernel(out[0]),
+                             s2d.s2d_bias(out[1]))
+
+        # softmax over the K classes within each (block, phase)
+        v = prm1s.reshape(prm1s.shape[:4] + (self.num_cls, 8))
+        prm_soft = sg(jax.nn.softmax(v, axis=-2)).reshape(prm1s.shape)
+
+        de_x1s = RegionAwareModalFusionS2D(c, self.num_cls, name="RFM1")(
+            y, prm_soft)
+
+        de_x1s = jnp.concatenate([de_x1s, de_x2s], axis=-1)
+        kd1c2 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c2")()
+        kd1out = RawGeneralConv3dParams(c, c, 1, name="d1_out")()
+        de_x1s = s2d.conv_postnorm_s2d(de_x1s, *kd1c2, k_size=3)
+        de_x1s = s2d.conv_postnorm_s2d(de_x1s, *kd1out, k_size=1)
+        kseg, bseg = RawConv3dParams(self.num_cls, c, 1, name="seg_layer")()
+        logits = s2d.depth_to_space(
+            s2d.s2d_conv(de_x1s, s2d.s2d_conv1_kernel(kseg),
+                         s2d.s2d_bias(bseg)))
+        return (s2d.depth_to_space(prm1s), s2d.depth_to_space(de_x1s),
+                s2d.depth_to_space(de_x2s), logits)
 
 
 def _unimodal_mask_stack(mask: jnp.ndarray) -> jnp.ndarray:
@@ -200,10 +256,12 @@ class RFNet(nn.Module):
     def setup(self):
         self.encoder = GroupedEncoder(self.basic_dims, self.use_s2d,
                                       name="encoders")
-        self.decoder_sep = DecoderSep(self.num_cls, self.basic_dims,
-                                      name="decoder_sep")
+        # remat: see mmformer.MMFormer.setup — the 5-pass fusion decoder and
+        # 4x sep decoder dominate training-activation memory at 80^3.
+        self.decoder_sep = nn.remat(DecoderSep)(
+            self.num_cls, self.basic_dims, name="decoder_sep")
         self.decoder_fuse = nn.vmap(
-            DecoderFuse,
+            nn.remat(DecoderFuse),
             in_axes=(None, None, None, None, 0), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False},
@@ -211,13 +269,18 @@ class RFNet(nn.Module):
 
     def encode(self, x, mask):
         """x: (B, H, W, Z, 4) modality-channel volume -> 4 flat scales
-        (B, ..., 4*C_k) (masked under idt)."""
+        (B, ..., 4*C_k) (masked under idt). x1 is in space-to-depth layout
+        when the polyphase path is active (block grid == x2's grid)."""
         idt = self.mask_type != "pdt"
         if idt:
             x = x * mask.astype(x.dtype)[:, None, None, None, :]
         feats = self.encoder(x)
         if idt:
-            feats = tuple(mask_channels(f, mask) for f in feats)
+            feats = tuple(
+                (s2d.mask_channels_s2d(f, mask)
+                 if k == 0 and f.shape[1] == feats[1].shape[1]
+                 else mask_channels(f, mask))
+                for k, f in enumerate(feats))
         return feats
 
     def __call__(self, x, mask):
@@ -237,16 +300,17 @@ class RFNet(nn.Module):
         reference train.py:589-604).
 
         x1 is stored in space-to-depth layout (dense TPU tiles vs 4x
-        padding for a (80^3, 32) tail); the encoder's d2s cancels against
-        it inside one jit."""
+        padding for a (80^3, 32) tail) and consumed directly by the
+        decoder's polyphase scale-1 stage."""
         x1, x2, x3, x4 = self.encoder(x)
-        return {"x1s": s2d.space_to_depth(x1), "rest": (x2, x3, x4)}
+        if x1.shape[1] != x2.shape[1]:  # encoder returned conventional
+            x1 = s2d.space_to_depth(x1)
+        return {"x1s": x1, "rest": (x2, x3, x4)}
 
     def fuse_inference(self, fts, mask, deterministic: bool = True):
         """Fusion decode + softmax from precomputed `features`."""
-        x1 = s2d.depth_to_space(fts["x1s"])
         x2, x3, x4 = fts["rest"]
-        logits, _, _ = self.decoder_fuse(x1, x2, x3, x4, mask[None])
+        logits, _, _ = self.decoder_fuse(fts["x1s"], x2, x3, x4, mask[None])
         return jax.nn.softmax(logits[0], axis=-1)
 
     def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
@@ -269,7 +333,10 @@ class RFNet(nn.Module):
         fuse_logits, prms, de_feats = self.decoder_fuse(x1, x2, x3, x4, masks)
 
         # Shared sep decoder per modality (tied weights, rfnet.py:248-260).
-        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
+        fconv = list(feats)
+        if fconv[0].shape[1] == fconv[1].shape[1]:  # x1 in S2D layout
+            fconv[0] = s2d.depth_to_space(fconv[0])
+        per_mod = [split_modalities(f) for f in fconv]  # [scale][modality]
         sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(4)])
                      for m in range(NUM_MODALS)]
 

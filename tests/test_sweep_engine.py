@@ -46,6 +46,31 @@ def test_features_fuse_matches_call(name, rng):
                                    err_msg=f"{name} mask={mask}")
 
 
+def test_mesh_sweep_matches_single_device(rng):
+    """Window chunks sharded over an 8-device CPU mesh produce the same
+    coverage-averaged probabilities as the single-device sweep (BASELINE
+    config 5 / SURVEY §5 window batching)."""
+    from passion_tpu.parallel.mesh import make_mesh
+
+    model, params, _ = _make("rfnet", rng)
+    vol = rng.standard_normal((24, 24, 20, 4)).astype(np.float32)
+    masks = [np.asarray(MASK_ARRAY[14]), np.asarray(MASK_ARRAY[3])]
+
+    plain = SlidingWindowSweep(model, num_cls=4, patch=PATCH,
+                               window_batch=4, compute_dtype=jnp.float32)
+    meshed = SlidingWindowSweep(model, num_cls=4, patch=PATCH,
+                                window_batch=4, compute_dtype=jnp.float32,
+                                mesh=make_mesh(8))
+    prep_p = plain.prepare(vol)
+    prep_m = meshed.prepare(vol)
+    fts_p = plain.encode_case(params, prep_p)
+    fts_m = meshed.encode_case(params, prep_m)
+    for m in masks:
+        lab_p = plain.infer_labels_masked(params, prep_p, fts_p, m)
+        lab_m = meshed.infer_labels_masked(params, prep_m, fts_m, m)
+        np.testing.assert_array_equal(lab_m, lab_p)
+
+
 @pytest.mark.parametrize("name", ["rfnet"])
 def test_sweep_engine_matches_single_mask_engine(name, rng):
     model, params, _ = _make(name, rng)
