@@ -2,5 +2,6 @@
 
 from passion_tpu.interop.torch_weights import (  # noqa: F401
     load_torch_checkpoint,
+    mmformer_params_from_torch,
     rfnet_params_from_torch,
 )

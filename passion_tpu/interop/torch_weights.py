@@ -83,6 +83,102 @@ def _dense(sd, name):
             "bias": np.asarray(sd[f"{name}.bias"], np.float32)}
 
 
+def _linear(sd, name):
+    """torch nn.Linear '{name}' -> flax Dense {kernel (I,O)[, bias]}."""
+    w = np.asarray(sd[f"{name}.weight"], np.float32)  # (O, I)
+    out = {"kernel": w.T}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"], np.float32)
+    return out
+
+
+def _layernorm(sd, name):
+    """torch nn.LayerNorm '{name}' -> flax LayerNorm {scale, bias}."""
+    return {"scale": np.asarray(sd[f"{name}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{name}.bias"], np.float32)}
+
+
+def _transformer(sd, prefix, depth=1):
+    """Reference Transformer (mmformer.py:280-311: per-layer
+    Residual(PreNormDrop(LN, SelfAttention)) + Residual(PreNorm(LN, FFN)))
+    -> flax models.layers.Transformer subtree."""
+    t = {}
+    for j in range(depth):
+        att = f"{prefix}.cross_attention_list.{j}.fn"
+        ffn = f"{prefix}.cross_ffn_list.{j}.fn"
+        t[f"attn_norm_{j}"] = _layernorm(sd, f"{att}.norm")
+        t[f"attn_{j}"] = {"qkv": _linear(sd, f"{att}.fn.qkv"),
+                          "proj": _linear(sd, f"{att}.fn.proj")}
+        t[f"ffn_norm_{j}"] = _layernorm(sd, f"{ffn}.norm")
+        t[f"ffn_{j}"] = {"Dense_0": _linear(sd, f"{ffn}.fn.net.0"),
+                         "Dense_1": _linear(sd, f"{ffn}.fn.net.3")}
+    return t
+
+
+def _stack_trees(trees):
+    """Stack the leaves of structurally identical {str: ...} trees along a
+    new leading axis (flax lifted-vmap variable_axes={'params': 0})."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack(trees, axis=0)
+
+
+def mmformer_params_from_torch(sd, depth=1):
+    """Reference mmformer.Model state_dict -> flax params for
+    models.mmformer.MMFormer.
+
+    Covers the full tree: grouped pre-norm encoder, per-modality IntraFormer
+    (stacked under the lifted vmap's modality axis), shared InterFormer +
+    decode conv inside FusePath, fusion decoder with RFM fusion_prenorm
+    blocks and deep-supervision heads, shared sep decoder (reference
+    mmformer.py:328-446, blocks.py:300-316,533-542).
+    """
+    p = {}
+    # e1_c1 is a bare Conv3d (mmformer.py:28); the rest are prenorm convs.
+    _set(p, "encoders/e1_c1/Conv_0", _grouped_conv(
+        sd, [f"{m}_encoder.e1_c1" for m in TORCH_MODALITIES]))
+    enc_layers = [f"e{i}_c{j}" for i in (1, 2, 3, 4, 5) for j in (1, 2, 3)
+                  if (i, j) != (1, 1)]
+    for layer in enc_layers:
+        _set(p, f"encoders/{layer}/Conv3d_0/Conv_0", _grouped_conv(
+            sd, [f"{m}_encoder.{layer}.conv" for m in TORCH_MODALITIES]))
+
+    _set(p, "encode_convs/Conv_0", _grouped_conv(
+        sd, [f"{m}_encode_conv" for m in TORCH_MODALITIES]))
+    p["pos"] = np.stack(
+        [np.asarray(sd[f"{m}_pos"], np.float32) for m in TORCH_MODALITIES],
+        axis=0)
+    p["intra_transformers"] = _stack_trees(
+        [_transformer(sd, f"{m}_transformer", depth)
+         for m in TORCH_MODALITIES])
+
+    fp = {}
+    fp["multimodal_transformer"] = _transformer(
+        sd, "multimodal_transformer", depth)
+    fp["multimodal_decode_conv"] = _conv(sd, "multimodal_decode_conv")
+    df = {}
+    sep_layers = [f"d{i}_{j}" for i in (4, 3, 2, 1) for j in ("c1", "c2", "out")]
+    for layer in sep_layers:
+        _set(df, f"{layer}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_fuse.{layer}.conv"))
+    for head in ("seg_d4", "seg_d3", "seg_d2", "seg_d1", "seg_layer"):
+        _set(df, f"{head}/Conv_0", _conv(sd, f"decoder_fuse.{head}"))
+    for k in (1, 2, 3, 4, 5):
+        for i in range(3):
+            _set(df, f"RFM{k}/GeneralConv3dPreNorm_{i}/Conv3d_0/Conv_0",
+                 _conv(sd, f"decoder_fuse.RFM{k}.fusion_layer.{i}.conv"))
+    fp["decoder_fuse"] = df
+    p["fuse_path"] = fp
+
+    for layer in sep_layers:
+        _set(p, f"decoder_sep/{layer}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_sep.{layer}.conv"))
+    _set(p, "decoder_sep/seg_layer/Conv_0", _conv(sd, "decoder_sep.seg_layer"))
+
+    return {"params": p}
+
+
 def rfnet_params_from_torch(sd):
     """Reference rfnet.Model state_dict -> flax params for models.rfnet.RFNet.
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from passion_tpu.ops.attn_mask import cross_key_bias, fusion_attention_bias
+from passion_tpu.ops.fused_norm import instance_norm_lrelu
 from passion_tpu.ops.norm import instance_norm
 
 NUM_MODALS = 4
@@ -270,7 +271,7 @@ class GeneralConv3d(nn.Module):
     def __call__(self, x):
         x = Conv3d(self.features, self.k_size, self.stride, self.padding,
                    self.pad_type, groups=self.groups)(x)
-        return leaky_relu(instance_norm(x))
+        return instance_norm_lrelu(x)
 
 
 class GeneralConv3dPreNorm(nn.Module):
@@ -290,7 +291,7 @@ class GeneralConv3dPreNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = leaky_relu(instance_norm(x))
+        x = instance_norm_lrelu(x)
         return Conv3d(self.features, self.k_size, self.stride, self.padding,
                       self.pad_type, groups=self.groups)(x)
 
@@ -383,12 +384,12 @@ class Transformer(nn.Module):
     def __call__(self, x, pos, deterministic: bool = True):
         for j in range(self.depth):
             x = x + pos
-            h = nn.LayerNorm(name=f"attn_norm_{j}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"attn_norm_{j}")(x)
             h = SelfAttention(self.heads, self.dropout_rate,
                               name=f"attn_{j}")(h, deterministic=deterministic)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
             x = x + h
-            f = nn.LayerNorm(name=f"ffn_norm_{j}")(x)
+            f = nn.LayerNorm(epsilon=1e-5, name=f"ffn_norm_{j}")(x)
             f = FeedForward(self.mlp_dim, self.dropout_rate,
                             name=f"ffn_{j}")(f, deterministic=deterministic)
             x = x + f
@@ -409,14 +410,14 @@ class MaskedTransformer(nn.Module):
     def __call__(self, x, mask, deterministic: bool = True):
         attn_list = []
         for j in range(self.depth):
-            h = nn.LayerNorm(name=f"attn_norm_{j}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"attn_norm_{j}")(x)
             h, attn = MaskedAttention(self.heads, self.dropout_rate,
                                       name=f"attn_{j}")(
                 h, mask, deterministic=deterministic)
             attn_list.append(jax.lax.stop_gradient(attn))
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
             x = x + h
-            f = nn.LayerNorm(name=f"ffn_norm_{j}")(x)
+            f = nn.LayerNorm(epsilon=1e-5, name=f"ffn_norm_{j}")(x)
             f = FeedForward(self.mlp_dim, self.dropout_rate,
                             name=f"ffn_{j}")(f, deterministic=deterministic)
             x = x + f
@@ -722,7 +723,12 @@ class RegionAwareModalFusion(nn.Module):
 
 class FusionPreNorm(nn.Module):
     """3x general_conv3d_prenorm on flattened modality stack
-    (fusion_prenorm, blocks.py:533-542)."""
+    (fusion_prenorm, blocks.py:533-542).
+
+    NOTE: unlike every other k=3 conv in the reference (explicit
+    pad_type='reflect'), fusion_prenorm leaves general_conv3d_prenorm's
+    default pad_type='zeros' (blocks.py:301,538) — so the RFM middle conv is
+    ZERO-padded. Verified by weight-transplant parity."""
 
     in_channel: int
 
@@ -732,7 +738,7 @@ class FusionPreNorm(nn.Module):
         concatenated features)."""
         c = self.in_channel
         x = GeneralConv3dPreNorm(c, k_size=1, padding=0)(x)
-        x = GeneralConv3dPreNorm(c, k_size=3, padding=1)(x)
+        x = GeneralConv3dPreNorm(c, k_size=3, padding=1, pad_type="zeros")(x)
         return GeneralConv3dPreNorm(c, k_size=1, padding=0)(x)
 
 

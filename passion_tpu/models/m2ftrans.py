@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from passion_tpu import losses
+from passion_tpu.ops.fused_norm import instance_norm_lrelu
 from passion_tpu.models.layers import (
     Conv3d,
     FusionPostNorm,
@@ -33,13 +34,11 @@ from passion_tpu.models.layers import (
     MultiCrossToken,
     PRMFusion,
     RawGeneralConv3dParams,
-    leaky_relu,
     mask_channels,
     split_modalities,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
 from passion_tpu.ops import s2d
-from passion_tpu.ops.norm import instance_norm
 from passion_tpu.ops.resize import upsample_nearest, upsample_trilinear
 
 NUM_MODALS = 4
@@ -82,7 +81,7 @@ class GroupedEncoder(nn.Module):
             x1s = x1s + gen_s2d(gen_s2d(x1s, k2, b2), k3, b3)
             x2 = s2d.s2d_conv(s2d.s2d_pad(x1s, right=False),
                               s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
-            x2 = leaky_relu(instance_norm(x2))
+            x2 = instance_norm_lrelu(x2)
             x1 = s2d.depth_to_space(x1s)
         else:
             x1 = gc(c, name="e1_c1")(x)
@@ -315,6 +314,28 @@ class M2FTrans(nn.Module):
         feats = self.encode(x, mask)
         logits, _, _ = self.fuse_path(
             feats, self._fusion_tokens(x.shape[0]), self.pos, mask[None],
+            deterministic)
+        return jax.nn.softmax(logits[0], axis=-1)
+
+    def features(self, x, deterministic: bool = True):
+        """Mask-INDEPENDENT window features for the 15-mask sweep.
+
+        The grouped encoder is block-diagonal over modalities (groups=4
+        convs), so a present modality's features never depend on an absent
+        modality's input channel; zeroing the input (idt `encode`) and
+        zeroing the feature channels (`fuse_inference`) are therefore
+        interchangeable, and `fuse_inference(features(x), m) == __call__(x,
+        m)` for every mask m. The sweep encodes once and runs only the
+        Bottleneck + Weight_Attention + fusion decoder per mask (vs 15 full
+        forwards in the reference, train.py:589-604)."""
+        return self.encoder(x)
+
+    def fuse_inference(self, fts, mask, deterministic: bool = True):
+        """Fusion decode + softmax from precomputed `features`."""
+        if self.mask_type != "pdt":
+            fts = tuple(mask_channels(f, mask) for f in fts)
+        logits, _, _ = self.fuse_path(
+            fts, self._fusion_tokens(fts[0].shape[0]), self.pos, mask[None],
             deterministic)
         return jax.nn.softmax(logits[0], axis=-1)
 

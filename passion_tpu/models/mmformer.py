@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from passion_tpu import losses
+from passion_tpu.ops.fused_norm import instance_norm_lrelu
 from passion_tpu.models.layers import (
     Conv3d,
     FusionPreNorm,
@@ -41,7 +42,6 @@ from passion_tpu.models.layers import (
     RawConv3dParams,
     RawGeneralConv3dParams,
     Transformer,
-    leaky_relu,
     mask_channels,
     mask_modalities,
     split_modalities,
@@ -83,7 +83,7 @@ class GroupedEncoder(nn.Module):
             ks, bs = RawGeneralConv3dParams(c * 2 * g, c, name="e2_c1")()
 
             def prenorm_s2d(xin, k, b):  # IN -> LReLU -> conv (pre-norm)
-                y = leaky_relu(s2d.instance_norm_s2d(xin))
+                y = instance_norm_lrelu(xin, phase_group=8)
                 return s2d.s2d_conv(s2d.s2d_pad(y),
                                     s2d.s2d_conv3_kernel(k, groups=g),
                                     s2d.s2d_bias(b))
@@ -93,7 +93,7 @@ class GroupedEncoder(nn.Module):
                                s2d.s2d_conv3_kernel(k1, groups=g),
                                s2d.s2d_bias(b1))  # bare conv (mmformer.py:28)
             x1s = x1s + prenorm_s2d(prenorm_s2d(x1s, k2, b2), k3, b3)
-            x2 = leaky_relu(s2d.instance_norm_s2d(x1s))
+            x2 = instance_norm_lrelu(x1s, phase_group=8)
             x2 = s2d.s2d_conv(s2d.s2d_pad(x2, right=False),
                               s2d.s2d_conv3_stride2_kernel(ks, groups=g), bs)
             # x1 STAYS in space-to-depth layout end-to-end: the fusion
@@ -198,7 +198,9 @@ class DecoderFuse(nn.Module):
                 upsample2_trilinear_s2d(de_x2_f), *kd1c1, k_size=3)
             de_x1s = x1
             for (k, b), ksz in zip(rfm1, (1, 3, 1)):
-                de_x1s = s2d.prenorm_conv_s2d(de_x1s, k, b, k_size=ksz)
+                # fusion_prenorm's k3 conv is ZERO-padded (see FusionPreNorm)
+                de_x1s = s2d.prenorm_conv_s2d(de_x1s, k, b, k_size=ksz,
+                                              pad_mode="zeros")
             h = s2d.prenorm_conv_s2d(
                 jnp.concatenate([de_x1s, de_x2s], axis=-1), *kd1c2, k_size=3)
             de_x1_fs = s2d.prenorm_conv_s2d(h, *kd1out, k_size=1)

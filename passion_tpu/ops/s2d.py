@@ -39,6 +39,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from passion_tpu.ops.fused_norm import instance_norm_lrelu
+
 # per-axis taps (p, q, kernel_pos=c+1, tap_pos=d+1) for k=3 stride-1
 _TAPS_K3S1 = (
     (0, 0, 1, 1),
@@ -147,11 +149,18 @@ def s2d_bias(b: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(b, 8)
 
 
-def s2d_pad(x: jnp.ndarray, left: bool = True, right: bool = True) -> jnp.ndarray:
-    """Reflect-pad 1 original voxel per side, expressed on the block grid:
-    one pad block per padded side and axis. Only the phases with nonzero
-    polyphase weights carry data (see module docstring)."""
+def s2d_pad(x: jnp.ndarray, left: bool = True, right: bool = True,
+            mode: str = "reflect") -> jnp.ndarray:
+    """Pad 1 original voxel per side, expressed on the block grid: one pad
+    block per padded side and axis. mode='reflect' (reference pad_type,
+    blocks.py:358-361): the only-read phase carries the reflected interior
+    voxel. mode='zeros' (fusion_prenorm's default pad, blocks.py:301,538):
+    the pad block is all-zero."""
     b, hb, wb, zb, c8 = x.shape
+    if mode == "zeros":
+        return jnp.pad(x, ((0, 0), (int(left), int(right)),
+                           (int(left), int(right)), (int(left), int(right)),
+                           (0, 0)))
     c = c8 // 8
     v = x.reshape(b, hb, wb, zb, c, 2, 2, 2)
     for ax, (pl, pr) in ((1, (left, right)), (2, (left, right)),
@@ -198,12 +207,13 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return y.reshape(x.shape).astype(x.dtype)
 
 
-def prenorm_conv_s2d(x, kernel, bias, k_size: int, groups: int = 1):
+def prenorm_conv_s2d(x, kernel, bias, k_size: int, groups: int = 1,
+                     pad_mode: str = "reflect"):
     """GeneralConv3dPreNorm (IN -> LeakyReLU(0.2) -> conv) on S2D tensors."""
-    y = jax.nn.leaky_relu(instance_norm_s2d(x), negative_slope=0.2)
+    y = instance_norm_lrelu(x, phase_group=8)
     if k_size == 3:
-        return s2d_conv(s2d_pad(y), s2d_conv3_kernel(kernel, groups),
-                        s2d_bias(bias))
+        return s2d_conv(s2d_pad(y, mode=pad_mode),
+                        s2d_conv3_kernel(kernel, groups), s2d_bias(bias))
     return s2d_conv(y, s2d_conv1_kernel(kernel, groups), s2d_bias(bias))
 
 
@@ -214,7 +224,7 @@ def conv_postnorm_s2d(x, kernel, bias, k_size: int, groups: int = 1):
                      s2d_bias(bias))
     else:
         y = s2d_conv(x, s2d_conv1_kernel(kernel, groups), s2d_bias(bias))
-    return jax.nn.leaky_relu(instance_norm_s2d(y), negative_slope=0.2)
+    return instance_norm_lrelu(y, phase_group=8)
 
 
 def mask_channels_s2d(x: jnp.ndarray, mask: jnp.ndarray,

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Breakdown of the 15-mask sweep (run on the real chip): encode time,
+per-mask fuse time, dispatch overhead. Guides where the next speedup is.
+
+Usage: python scripts/profile_sweep_breakdown.py [model] [window_batch]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from passion_tpu.engine.sliding_window import SlidingWindowSweep
+    from passion_tpu.masks import MASK_ARRAY
+    from passion_tpu.models import get_model
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "mmformer"
+    wb = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    model = get_model(name, mask_type="idt", patch_size=80)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 80, 80, 80, 4), jnp.float32),
+                        jnp.ones((1, 4), bool))
+    engine = SlidingWindowSweep(model, num_cls=4, patch=80, window_batch=wb)
+    vol = np.random.default_rng(0).standard_normal(
+        (240, 240, 155, 4)).astype(np.float32)
+    masks = [np.asarray(m) for m in MASK_ARRAY]
+    prepared = engine.prepare(vol)
+
+    # warm up / compile everything
+    labs = engine.sweep_labels(params, prepared, masks)
+    assert len(labs) == 15
+
+    def sync(x):
+        jax.block_until_ready(x)
+        return x
+
+    t0 = time.perf_counter()
+    fts = sync(engine.encode_case(params, prepared))
+    t_enc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    lab = sync(engine._fuse_labels_device(params, prepared, fts, masks[14]))
+    t_fuse1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pending = [engine._fuse_labels_device(params, prepared, fts, m)
+               for m in masks]
+    for x in pending:
+        jax.block_until_ready(x)
+    t_fuse15 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    labs = engine.sweep_labels(params, prepared, masks)
+    t_total = time.perf_counter() - t0
+
+    nchunks = int(prepared["coords"].shape[0])
+    print(f"model={name} wb={wb} chunks={nchunks}")
+    print(f"encode_case          : {t_enc:7.3f}s")
+    print(f"fuse 1 mask          : {t_fuse1:7.3f}s")
+    print(f"fuse 15 masks (pipe) : {t_fuse15:7.3f}s  ({t_fuse15 / 15:.3f}s/mask)")
+    print(f"sweep_labels total   : {t_total:7.3f}s  -> {15 / t_total:.3f} mask-cases/s")
+
+
+if __name__ == "__main__":
+    main()

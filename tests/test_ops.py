@@ -1,5 +1,6 @@
 """Golden tests for core ops against PyTorch CPU reference semantics."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -97,3 +98,61 @@ def test_cross_key_bias_structure():
     allow = bias[0, 0] == 0.0
     expected = np.repeat(np.array([False, True, False, True]), 3)
     np.testing.assert_array_equal(allow, expected)
+
+
+class TestFusedNorm:
+    """Pallas fused InstanceNorm+LeakyReLU vs the jnp reference
+    (interpret mode on CPU; the real kernel runs on TPU)."""
+
+    def _check(self, x, phase_group, rng=None):
+        import passion_tpu.ops.fused_norm as fn
+
+        ref = fn.instance_norm_lrelu(x, phase_group=phase_group)
+        prev = fn._MIN_PALLAS_ELEMS
+        fn._MIN_PALLAS_ELEMS = 0
+        try:
+            with fn.enabled():
+                got = fn.instance_norm_lrelu(x, phase_group=phase_group)
+        finally:
+            fn._MIN_PALLAS_ELEMS = prev
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2 if x.dtype == jnp.bfloat16
+                                   else 2e-5, rtol=1e-2)
+
+    def test_plain_narrow_channels(self, rng):
+        # C=64 < 128: lane-packed layout
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 64)) * 3 + 1,
+                        jnp.float32)
+        self._check(x, 1)
+
+    def test_plain_wide_channels(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4, 4, 4, 256)),
+                        jnp.bfloat16)
+        self._check(x, 1)
+
+    def test_s2d_phase_group(self, rng):
+        # S2D stats pool over groups of 8 phase channels
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 64)) - 0.5,
+                        jnp.float32)
+        self._check(x, 8)
+
+    def test_disabled_matches_reference_norm(self, rng):
+        from passion_tpu.ops.fused_norm import instance_norm_lrelu
+        from passion_tpu.ops.norm import instance_norm
+
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 24)), jnp.float32)
+        ref = jax.nn.leaky_relu(instance_norm(x), negative_slope=0.2)
+        np.testing.assert_allclose(np.asarray(instance_norm_lrelu(x)),
+                                   np.asarray(ref), atol=1e-6)
+
+    def test_s2d_disabled_matches_reference_norm(self, rng):
+        from passion_tpu.ops.fused_norm import instance_norm_lrelu
+        from passion_tpu.ops.s2d import instance_norm_s2d
+
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, 7, 48)), jnp.float32)
+        ref = jax.nn.leaky_relu(instance_norm_s2d(x), negative_slope=0.2)
+        np.testing.assert_allclose(
+            np.asarray(instance_norm_lrelu(x, phase_group=8)),
+            np.asarray(ref), atol=1e-6)

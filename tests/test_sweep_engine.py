@@ -24,16 +24,19 @@ SOME_MASKS = [
 
 
 def _make(name, rng):
-    model = get_model(name, mask_type="idt", patch_size=PATCH, **(
-        {"basic_dims": 4, "trans_dim": 32, "mlp_dim": 64, "heads": 4}
-        if name == "mmformer" else {"basic_dims": 4}))
+    kw = {"basic_dims": 4}
+    if name == "mmformer":
+        kw = {"basic_dims": 4, "trans_dim": 32, "mlp_dim": 64, "heads": 4}
+    elif name == "m2ftrans":
+        kw = {"basic_dims": 4, "mlp_dim": 64, "heads": 4}
+    model = get_model(name, mask_type="idt", patch_size=PATCH, **kw)
     x = jnp.asarray(rng.standard_normal((2, PATCH, PATCH, PATCH, 4)),
                     jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.ones((2, 4), bool))
     return model, params, x
 
 
-@pytest.mark.parametrize("name", ["rfnet", "mmformer"])
+@pytest.mark.parametrize("name", ["rfnet", "mmformer", "m2ftrans"])
 def test_features_fuse_matches_call(name, rng):
     model, params, x = _make(name, rng)
     fts = model.apply(params, x, method=type(model).features)

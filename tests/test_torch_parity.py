@@ -42,6 +42,47 @@ def _torch_predict(model, x_np, mask_np):
     return np.transpose(out.numpy(), (0, 2, 3, 4, 1))  # back to NHWDC
 
 
+@pytest.fixture(scope="module")
+def torch_mmformer():
+    sys.path.insert(0, REF_CODE)
+    import torch
+    torch.manual_seed(1037)
+    from models import mmformer as torch_mmformer_mod
+
+    model = torch_mmformer_mod.Model(num_cls=4)
+    model.eval()
+    model.is_training = False
+    return model
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mask", [
+    [True, True, True, True],
+    [False, False, True, True],
+])
+def test_mmformer_transplant_inference_parity(torch_mmformer, mask):
+    """mmFormer weight transplant: the reference hardcodes a 5^3 bottleneck
+    token grid (mmformer.py:14,417), so parity must run at the full 80^3
+    patch — slow on CPU but the only input size the torch model accepts."""
+    from passion_tpu.interop import mmformer_params_from_torch
+    from passion_tpu.models.mmformer import MMFormer
+
+    sd = {k: v.detach().numpy() for k, v in torch_mmformer.state_dict().items()}
+    params = mmformer_params_from_torch(sd)
+
+    rng = np.random.default_rng(11)
+    s = 80
+    x = rng.standard_normal((1, s, s, s, 4)).astype(np.float32)
+    mask_np = np.asarray([mask], bool)
+
+    ours = MMFormer(num_cls=4, mask_type="idt", patch_size=s)
+    pred_jax = np.asarray(ours.apply(params, x, mask_np))
+    pred_torch = _torch_predict(torch_mmformer, x, mask_np)
+
+    assert pred_jax.shape == pred_torch.shape == (1, s, s, s, 4)
+    np.testing.assert_allclose(pred_jax, pred_torch, atol=2e-4, rtol=1e-3)
+
+
 @pytest.mark.parametrize("mask", [
     [True, True, True, True],
     [False, True, False, False],
