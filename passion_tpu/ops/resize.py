@@ -83,17 +83,20 @@ def upsample2_trilinear_s2d(x: jnp.ndarray, align_corners: bool = True) -> jnp.n
     """
     b, h, w, z, c = x.shape
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    out = xf
-    for axis, (size, spec) in enumerate((
-            (h, "oh,bhwzc...->bowzc..."),
-            (w, "ow,bhwzc...->bhozc..."),
-            (z, "oz,bhwzc...->bhwoc..."))):
+    out = x.astype(jnp.float32)
+    # Each axis contraction appends its phase bit as the NEW minormost
+    # channel factor (k -> k*2 + p), so after H, W, Z the channel index is
+    # c*8 + px*4 + py*2 + pz — the phase-minor S2D layout — built entirely
+    # by channels-minor einsum+reshape (no phase stacking on interior axes,
+    # which forced XLA into transposed layouts and full-tensor copies).
+    for size, spec in ((h, "opi,biwzk->bowzkp"),
+                       (w, "opi,bhizk->bhozkp"),
+                       (z, "opi,bhwik->bhwokp")):
         m = jnp.asarray(_linear_matrix(size, 2 * size, align_corners))
-        phases = [jnp.einsum(spec, m[p::2], out, precision=_PRECISION)
-                  for p in (0, 1)]
-        out = jnp.stack(phases, axis=-1)
-    return out.reshape(b, h, w, z, c * 8).astype(dtype)
+        mp = jnp.stack([m[0::2], m[1::2]], axis=1)  # (out, phase, in)
+        out = jnp.einsum(spec, mp, out, precision=_PRECISION)
+        out = out.reshape(out.shape[:4] + (-1,))
+    return out.astype(dtype)
 
 
 def upsample_nearest(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:

@@ -161,28 +161,27 @@ def s2d_pad(x: jnp.ndarray, left: bool = True, right: bool = True,
         return jnp.pad(x, ((0, 0), (int(left), int(right)),
                            (int(left), int(right)), (int(left), int(right)),
                            (0, 0)))
-    c = c8 // 8
-    v = x.reshape(b, hb, wb, zb, c, 2, 2, 2)
-    for ax, (pl, pr) in ((1, (left, right)), (2, (left, right)),
-                         (3, (left, right))):
+    # Flat-channel form (no phase-split reshapes): with phase-minor channels
+    # c8 = orig*8 + px*4 + py*2 + pz, the left pad block along an axis equals
+    # the FIRST block with phases whose axis-bit is 0 zeroed (coord -1
+    # reflects to +1 = block 0 phase 1, same channel index; coord -2 is
+    # structurally unread), and the right pad block equals the LAST block
+    # with axis-bit-1 phases zeroed. A per-channel 0/1 multiply replaces the
+    # reshape->slice->concat phase shuffle, which forced XLA into transposed
+    # layouts and full-tensor copies around every scale-1 conv (profiled).
+    for ax, shift in ((1, 2), (2, 1), (3, 0)):
+        bit = ((jnp.arange(c8) % 8) >> shift) & 1
+        keep1 = bit.astype(x.dtype).reshape((1, 1, 1, 1, c8))
         pieces = []
-        pdim = 5 + (ax - 1)  # phase dim for this axis
-        if pl:
-            first = jax.lax.slice_in_dim(v, 0, 1, axis=ax)
-            phase1 = jax.lax.slice_in_dim(first, 1, 2, axis=pdim)
-            lpad = jnp.concatenate(
-                [jnp.zeros_like(phase1), phase1], axis=pdim)
-            pieces.append(lpad)
-        pieces.append(v)
-        if pr:
-            last = jax.lax.slice_in_dim(v, v.shape[ax] - 1, v.shape[ax],
+        if left:
+            pieces.append(jax.lax.slice_in_dim(x, 0, 1, axis=ax) * keep1)
+        pieces.append(x)
+        if right:
+            last = jax.lax.slice_in_dim(x, x.shape[ax] - 1, x.shape[ax],
                                         axis=ax)
-            phase0 = jax.lax.slice_in_dim(last, 0, 1, axis=pdim)
-            rpad = jnp.concatenate(
-                [phase0, jnp.zeros_like(phase0)], axis=pdim)
-            pieces.append(rpad)
-        v = jnp.concatenate(pieces, axis=ax)
-    return v.reshape(v.shape[:4] + (c8,))
+            pieces.append(last * (1 - keep1))
+        x = jnp.concatenate(pieces, axis=ax)
+    return x
 
 
 def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias=None) -> jnp.ndarray:
