@@ -179,6 +179,102 @@ def mmformer_params_from_torch(sd, depth=1):
     return {"params": p}
 
 
+def _dwconv_block(sd, name):
+    """torch DepthWiseConvBlock (blocks.py:32-64) -> flax subtree."""
+    return {
+        "Conv_0": _conv(sd, f"{name}.conv1"),
+        "LayerNorm_0": _layernorm(sd, f"{name}.norm1"),
+        "Conv_1": _conv(sd, f"{name}.conv2"),
+        "LayerNorm_1": _layernorm(sd, f"{name}.norm2"),
+        "Conv_2": _conv(sd, f"{name}.conv3"),
+        "LayerNorm_2": _layernorm(sd, f"{name}.norm3"),
+    }
+
+
+def _group_conv_block(sd, name):
+    """torch GroupConvBlock (blocks.py:65-109) -> flax subtree."""
+    return {
+        "Conv_0": _conv(sd, f"{name}.pwconv1"),
+        "LayerNorm_0": _layernorm(sd, f"{name}.norm1"),
+        "Conv_1": _conv(sd, f"{name}.dwconv"),
+        "LayerNorm_1": _layernorm(sd, f"{name}.norm2"),
+        "Conv_2": _conv(sd, f"{name}.pwconv2"),
+        "LayerNorm_2": _layernorm(sd, f"{name}.norm3"),
+    }
+
+
+def _multi_cross_token(sd, name, num_layers=2):
+    """torch MultiCrossToken (m2ftrans.py:25-61) -> flax CT subtree."""
+    mods = ("flair", "t1ce", "t1", "t2")
+    out = {}
+    for i in range(num_layers):
+        ln = f"{name}.layers.{i}"
+        layer = {"cross_attn": {
+            "query_map": _dwconv_block(sd, f"{ln}.cross_attn.query_map"),
+            "out_project": _dwconv_block(sd, f"{ln}.cross_attn.out_project"),
+        }}
+        for m in mods:
+            layer["cross_attn"][f"key_map_{m}"] = _dwconv_block(
+                sd, f"{ln}.cross_attn.key_map_{m}")
+            layer["cross_attn"][f"value_map_{m}"] = _dwconv_block(
+                sd, f"{ln}.cross_attn.value_map_{m}")
+        layer["ffn1"] = _group_conv_block(sd, f"{ln}.ffn1")
+        if f"{ln}.ffn2.pwconv1.weight" in sd:
+            layer["ffn2"] = _group_conv_block(sd, f"{ln}.ffn2")
+        out[f"layer_{i}"] = layer
+    return out
+
+
+def m2ftrans_params_from_torch(sd, depth=3):
+    """Reference m2ftrans.Model state_dict -> flax params for
+    models.m2ftrans.M2FTrans.
+
+    Covers the grouped post-norm encoder, the masked Bottleneck transformer
+    (fusion/pos parameters included), the MultiCrossToken fusion decoder
+    with prm_fusion heads and fusion_postnorm RFM blocks, and the shared sep
+    decoder (reference m2ftrans.py:63-241,399-566, blocks.py:32-109,206-297).
+    """
+    p = {}
+    for layer in [f"e{i}_c{j}" for i in (1, 2, 3, 4, 5) for j in (1, 2, 3)]:
+        _set(p, f"encoders/{layer}/Conv3d_0/Conv_0", _grouped_conv(
+            sd, [f"{m}_encoder.{layer}.conv" for m in TORCH_MODALITIES]))
+
+    p["pos"] = np.asarray(sd["pos"], np.float32)
+    p["fusion"] = np.asarray(sd["fusion"], np.float32)
+
+    fp = {"trans_bottle": _transformer(sd, "Bottleneck.trans_bottle", depth)}
+    df = {}
+    dec_layers = (["d5_c2", "d5_out"]
+                  + [f"d{i}_{j}" for i in (4, 3, 2, 1)
+                     for j in ("c1", "c2", "out")])
+    for layer in dec_layers:
+        _set(df, f"{layer}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_fusion.{layer}.conv"))
+    _set(df, "seg_layer/Conv_0", _conv(sd, "decoder_fusion.seg_layer"))
+    for k in (1, 2, 3):
+        for i in range(3):
+            _set(df, f"RFM{k}/GeneralConv3d_{i}/Conv3d_0/Conv_0",
+                 _conv(sd, f"decoder_fusion.RFM{k}.fusion_layer.{i}.conv"))
+    for k in (1, 2, 3, 4, 5):
+        _set(df, f"prm_fusion{k}/GeneralConv3d_0/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_fusion.prm_fusion{k}.prm_layer.0.conv"))
+        _set(df, f"prm_fusion{k}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_fusion.prm_fusion{k}.prm_layer.1"))
+    df["CT5"] = _multi_cross_token(sd, "decoder_fusion.CT5")
+    df["CT4"] = _multi_cross_token(sd, "decoder_fusion.CT4")
+    fp["decoder_fusion"] = df
+    p["fuse_path"] = fp
+
+    sep_layers = [f"d{i}_{j}" for i in (4, 3, 2, 1)
+                  for j in ("c1", "c2", "out")]
+    for layer in sep_layers:
+        _set(p, f"decoder_sep/{layer}/Conv3d_0/Conv_0",
+             _conv(sd, f"decoder_sep.{layer}.conv"))
+    _set(p, "decoder_sep/seg_layer/Conv_0", _conv(sd, "decoder_sep.seg_layer"))
+
+    return {"params": p}
+
+
 def rfnet_params_from_torch(sd):
     """Reference rfnet.Model state_dict -> flax params for models.rfnet.RFNet.
 

@@ -108,3 +108,52 @@ def test_rfnet_transplant_inference_parity(torch_rfnet, mask):
 
     assert pred_jax.shape == pred_torch.shape == (1, s, s, s, 4)
     np.testing.assert_allclose(pred_jax, pred_torch, atol=2e-4, rtol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def torch_m2ftrans():
+    sys.path.insert(0, REF_CODE)
+    import torch
+    torch.manual_seed(1037)
+    from models import m2ftrans as torch_m2f_mod
+
+    model = torch_m2f_mod.Model(num_cls=4)
+    model.eval()
+    model.is_training = False
+    return model
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mask", [
+    [True, True, True, True],
+    [True, False, False, True],
+])
+def test_m2ftrans_transplant_inference_parity(torch_m2ftrans, mask):
+    """M2FTrans weight transplant: like mmFormer, the reference hardcodes
+    the 5^3 bottleneck token grid (m2ftrans.py:20-23), so parity runs at the
+    full 80^3 patch. The reference's attention-mask path calls
+    `.cuda(non_blocking=True)` (m2ftrans.py:350) which on CPU torch is a
+    no-op error — monkeypatched to identity for the oracle run."""
+    import torch
+
+    if not torch.cuda.is_available():
+        torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+
+    from passion_tpu.interop import m2ftrans_params_from_torch
+    from passion_tpu.models.m2ftrans import M2FTrans
+
+    sd = {k: v.detach().numpy()
+          for k, v in torch_m2ftrans.state_dict().items()}
+    params = m2ftrans_params_from_torch(sd)
+
+    rng = np.random.default_rng(13)
+    s = 80
+    x = rng.standard_normal((1, s, s, s, 4)).astype(np.float32)
+    mask_np = np.asarray([mask], bool)
+
+    ours = M2FTrans(num_cls=4, mask_type="idt", patch_size=s)
+    pred_jax = np.asarray(ours.apply(params, x, mask_np))
+    pred_torch = _torch_predict(torch_m2ftrans, x, mask_np)
+
+    assert pred_jax.shape == pred_torch.shape == (1, s, s, s, 4)
+    np.testing.assert_allclose(pred_jax, pred_torch, atol=2e-3, rtol=1e-2)
