@@ -273,8 +273,8 @@ class SlidingWindowSweep(SlidingWindowInference):
                          spatial_bucket, compute_dtype)
         if mesh is None:
             self._jit_encode = jax.jit(self._encode_chunks)
-            self._jit_fuse = jax.jit(self._fuse_run,
-                                     static_argnames=("cosets",))
+            self._jit_fuse = jax.jit(
+                self._fuse_run, static_argnames=("cosets", "normalize"))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -339,9 +339,13 @@ class SlidingWindowSweep(SlidingWindowInference):
             _, fts = jax.lax.scan(step, None, coords)
         return fts
 
-    def _fuse_run(self, params, fts, wgt, mask, *, cosets):
+    def _fuse_run(self, params, fts, wgt, mask, *, cosets,
+                  normalize: bool = True):
         """Coverage-averaged softmax probs for ONE mask from stored
-        features (single-device fast path: static coset block adds)."""
+        features (single-device fast path: static coset block adds).
+        normalize=False returns the raw coverage-sum — the per-voxel weight
+        is a positive scalar across classes, so argmax is unchanged and the
+        label path skips a full-volume divide."""
         p, c = self.patch, self.num_cls
         params = self._cast(params)
         leaf0 = jax.tree_util.tree_leaves(fts)[0]
@@ -357,6 +361,8 @@ class SlidingWindowSweep(SlidingWindowInference):
             _, probs = jax.lax.scan(chunk_step, None, fts)
         probs = probs.reshape((-1, p, p, p, c))
         acc = _accumulate_cosets(probs, cosets, p, wgt.shape[:3])
+        if not normalize:
+            return acc
         return acc / jnp.maximum(wgt, 1e-8)
 
     def _fuse_run_dynamic(self, params, fts, coords, valid, mask, vol_shape3,
@@ -445,7 +451,8 @@ class SlidingWindowSweep(SlidingWindowInference):
         m = jnp.asarray(np.asarray(mask, bool))
         if self.mesh is None:
             probs = self._jit_fuse(params, fts, prepared["wgt"], m,
-                                   cosets=prepared["cosets"])
+                                   cosets=prepared["cosets"],
+                                   normalize=False)
         else:
             vol_shape3 = tuple(int(d) for d in prepared["xpad"].shape[:3])
             probs = self._jit_fuse(params, fts, prepared["coords"],
