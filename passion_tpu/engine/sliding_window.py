@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from passion_tpu.ops import fused_norm
+from passion_tpu.ops import fused_norm, s2d
 
 
 def window_starts(extent: int, patch: int) -> list[int]:
@@ -170,7 +170,8 @@ class SlidingWindowInference:
             wins = jax.vmap(gather)(cs)
             return None, self.apply_fn(params, wins, mask_b)
 
-        with fused_norm.enabled():  # Pallas IN+LReLU on the inference path
+        with fused_norm.enabled(), s2d.no_pad_barrier():  # inference trace:
+            # Pallas IN+LReLU on, training-only pad barrier off
             _, probs = jax.lax.scan(chunk_step, None, coords)
         probs = probs.reshape((-1, p, p, p, c))
         acc = _accumulate_cosets(probs, cosets, p, xpad.shape[:3])
@@ -335,7 +336,8 @@ class SlidingWindowSweep(SlidingWindowInference):
                                    method=type(self.model).features)
             return None, fts
 
-        with fused_norm.enabled():  # Pallas IN+LReLU on the inference path
+        with fused_norm.enabled(), s2d.no_pad_barrier():  # inference trace:
+            # Pallas IN+LReLU on, training-only pad barrier off
             _, fts = jax.lax.scan(step, None, coords)
         return fts
 
@@ -357,7 +359,8 @@ class SlidingWindowSweep(SlidingWindowInference):
                                      method=type(self.model).fuse_inference)
             return None, probs
 
-        with fused_norm.enabled():  # Pallas IN+LReLU on the inference path
+        with fused_norm.enabled(), s2d.no_pad_barrier():  # inference trace:
+            # Pallas IN+LReLU on, training-only pad barrier off
             _, probs = jax.lax.scan(chunk_step, None, fts)
         probs = probs.reshape((-1, p, p, p, c))
         acc = _accumulate_cosets(probs, cosets, p, wgt.shape[:3])
@@ -388,9 +391,11 @@ class SlidingWindowSweep(SlidingWindowInference):
         def chunk_step(carry, inp):
             acc, wgt = carry
             cs, vs, ft = inp
-            probs = self.model.apply(
-                params, ft, mask_b,
-                method=type(self.model).fuse_inference).astype(jnp.float32)
+            with fused_norm.enabled(), s2d.no_pad_barrier():  # inference
+                # trace (mesh path): same fused config as _fuse_run
+                probs = self.model.apply(
+                    params, ft, mask_b,
+                    method=type(self.model).fuse_inference).astype(jnp.float32)
             probs = probs * vs[:, None, None, None, None]
 
             def add_one(i, aw):

@@ -52,15 +52,33 @@ NUM_MODALS = 4
 
 
 def make_train_step(model, tx, use_passion: bool, num_cls: int = 4,
-                    with_dropout: bool = False):
+                    with_dropout: bool = False,
+                    compute_dtype=jnp.bfloat16):
     """Build the jitted train step.
 
     Returns step(params, opt_state, batch, imb_beta, modal_weight, temp, key,
     warmup) -> (params, opt_state, metrics). `warmup` is static (two
     compilations: warmup and main phase, mirroring train.py:274-280).
+
+    Mixed precision: the model forward/backward runs in `compute_dtype`
+    (bf16 by default — MXU-native, halves activation HBM traffic) against
+    fp32 master params; every loss reduction upcasts to fp32 at entry
+    (losses._f32), and gradients accumulate in fp32 through the cast's
+    transpose. Pass compute_dtype=None for full-fp32 parity runs.
+
+    batch may carry an optional 'valid' (B,) float mask: padded samples
+    (mesh ragged-batch padding, `fit`) contribute zero to every loss term
+    and to the rp preference statistics.
     """
     train_method = type(model).train_losses
     idt = model.mask_type != "pdt"
+
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, tree)
 
     @partial(jax.jit, static_argnames=("warmup",), donate_argnums=(0, 1))
     def step(params, opt_state, batch, imb_beta, modal_weight, temp, key,
@@ -69,36 +87,51 @@ def make_train_step(model, tx, use_passion: bool, num_cls: int = 4,
         target = batch["target"]
         mask = batch["mask"]
         mask_f = mask.astype(jnp.float32)
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones((x.shape[0],), jnp.float32)
 
         def loss_fn(p):
-            kw = {}
+            pc = cast(p)
+            xc = x if compute_dtype is None else x.astype(compute_dtype)
             if with_dropout:
-                out = model.apply(p, x, mask, target, temp, use_passion,
+                out = model.apply(pc, xc, mask, target, temp, use_passion,
                                   False, method=train_method,
                                   rngs={"dropout": key})
             else:
-                out = model.apply(p, x, mask, target, temp, use_passion,
-                                  method=train_method, **kw)
+                out = model.apply(pc, xc, mask, target, temp, use_passion,
+                                  method=train_method)
+
+            # Padded rows (mesh ragged batches) are excluded with jnp.where,
+            # not multiplication: a multiplicative 0-gate would turn a padded
+            # row's NaN into a NaN sum (0 * NaN = NaN), while REAL samples'
+            # intentional NaN propagation (single-modality rp, module
+            # docstring) must survive.
+            vrow = valid[:, None] > 0
+
+            def drop_padded(a):
+                return jnp.where(vrow, a.astype(jnp.float32), 0.0)
 
             fuse_bs = losses.fuse_loss_bs(out["fuse_pred"], target, num_cls)
-            fuse_loss = jnp.sum(fuse_bs)
-            prm_loss = jnp.sum(out["prm_loss"])
+            fuse_loss = jnp.sum(drop_padded(fuse_bs))
+            prm_loss = jnp.sum(drop_padded(out["prm_loss"]))
 
             gate = mask_f if idt else jnp.ones_like(mask_f)
-            sep_m = jnp.sum(out["sep_loss"] * gate, axis=0)  # (4,)
-            kl_m = jnp.sum(out["kl_loss"] * gate, axis=0)
-            proto_m = jnp.sum(out["proto_loss"] * gate, axis=0)
-            dist_m = jnp.sum(out["dist"] * gate, axis=0)
+            sep_m = jnp.sum(drop_padded(out["sep_loss"] * gate), axis=0)
+            kl_m = jnp.sum(drop_padded(out["kl_loss"] * gate), axis=0)
+            proto_m = jnp.sum(drop_padded(out["proto_loss"] * gate), axis=0)
+            dist_m = jnp.sum(drop_padded(out["dist"] * gate), axis=0)
 
             # task-wise preference (train.py:239-242 pdt / 265-268 idt)
-            dist_bs = out["dist"]  # (B, 4)
+            dist_bs = out["dist"].astype(jnp.float32)  # (B, 4)
             if idt:
                 dist_avg = jnp.sum(dist_bs, axis=1) / jnp.sum(mask_f, axis=1)
-                rp_iter = jnp.sum(
-                    mask_f * (dist_bs / dist_avg[:, None] - 1.0), axis=0)
+                rp_iter = jnp.sum(drop_padded(
+                    mask_f * (dist_bs / dist_avg[:, None] - 1.0)), axis=0)
             else:
                 dist_avg = jnp.mean(dist_bs, axis=1)
-                rp_iter = jnp.sum(dist_bs / dist_avg[:, None] - 1.0, axis=0)
+                rp_iter = jnp.sum(
+                    drop_padded(dist_bs / dist_avg[:, None] - 1.0), axis=0)
             rp_mask = (rp_iter > 0).astype(jnp.float32)
 
             w = modal_weight if idt else jnp.ones((NUM_MODALS,), jnp.float32)
@@ -290,16 +323,24 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
         for i, batch in enumerate(train_loader):
             if i >= iter_per_epoch:
                 break
-            if mesh is not None and batch["x"].shape[0] % mesh.size != 0:
-                logging.warning(
-                    "skipping ragged batch of %d (not divisible by %d-device "
-                    "mesh)", batch["x"].shape[0], mesh.size)
-                continue
-            arrays = shard({
+            b = batch["x"].shape[0]
+            arrays = {
                 "x": batch["x"].astype(np.float32),
                 "target": batch["target"].astype(np.float32),
                 "mask": batch["mask"],
-            })
+                "valid": np.ones((b,), np.float32),
+            }
+            if mesh is not None and b % mesh.size != 0:
+                # Pad ragged batches to a mesh multiple by replicating real
+                # samples with valid=0 — every loss and rp term excludes the
+                # padding (drop_padded in the step), so the reference trains
+                # on all samples (train.py:198-210) and so do we.
+                bp = -(-b // mesh.size) * mesh.size
+                idx = np.concatenate([np.arange(b),
+                                      np.zeros((bp - b,), np.int64)])
+                arrays = {k: v[idx] for k, v in arrays.items()}
+                arrays["valid"][b:] = 0.0
+            arrays = shard(arrays)
             key, sub = jax.random.split(key)
             params, opt_state, m = step(
                 params, opt_state, arrays, jnp.asarray(imb_beta),
@@ -323,9 +364,10 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
                     writer.add_scalar(f"rp_m{mm}", rp_epoch[mm], epoch + 1)
 
         if writer:
+            # tag set identical to the reference's TB scalars
+            # (train.py:342-354): epoch_losses, epoch_fuse_losses, ...
             for k, v in acc.items():
-                writer.add_scalar(f"epoch_{k}es" if k == "loss" else
-                                  f"epoch_{k}es", v, epoch + 1)
+                writer.add_scalar(f"epoch_{k}es", v, epoch + 1)
             for mm in range(NUM_MODALS):
                 for k in ("sep_m", "kl_m", "proto_m", "dist_m"):
                     writer.add_scalar(f"{k[:-2]}_m{mm}", acc_m[k][mm],

@@ -34,6 +34,13 @@ def _maybe_upsample(p: jnp.ndarray, up_scale: int) -> jnp.ndarray:
     return p
 
 
+def _f32(*arrays):
+    """Losses always reduce in fp32: the model forward may run in bf16
+    (mixed-precision training), but summing ~512k voxel terms in bf16 loses
+    the low bits that the preference signals (dist) are made of."""
+    return tuple(a.astype(jnp.float32) for a in arrays)
+
+
 def dice_loss_bs(
     output: jnp.ndarray,
     target: jnp.ndarray,
@@ -42,6 +49,7 @@ def dice_loss_bs(
     up_scale: int = 1,
 ) -> jnp.ndarray:
     """Soft multi-class dice loss, per sample. output: probabilities."""
+    (output,) = _f32(output)
     output = _maybe_upsample(output, up_scale)
     target = target.astype(output.dtype)
     spatial = (1, 2, 3)
@@ -59,6 +67,7 @@ def softmax_weighted_loss_bs(
     up_scale: int = 1,
 ) -> jnp.ndarray:
     """Class-frequency-weighted cross entropy, per sample. output: probs."""
+    (output,) = _f32(output)
     output = _maybe_upsample(output, up_scale)
     target = target.astype(output.dtype)
     spatial = (1, 2, 3)
@@ -88,6 +97,7 @@ def temp_kl_loss_bs(
 ) -> jnp.ndarray:
     """Temperature-softmax KL(teacher ‖ student) with T² scaling, per sample."""
     del target, num_cls
+    logit_s, logit_t = _f32(logit_s, logit_t)
     pred_s = jax.nn.softmax(logit_s / temp, axis=-1)
     pred_t = jax.nn.softmax(logit_t / temp, axis=-1)
     pred_s = _maybe_upsample(pred_s, up_scale)

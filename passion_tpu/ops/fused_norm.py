@@ -27,6 +27,7 @@ Numerics match the jnp path to float tolerance (tests/test_ops.py).
 from __future__ import annotations
 
 from contextlib import contextmanager
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -164,9 +165,16 @@ def instance_norm_lrelu(x, eps: float = 1e-5, negative_slope: float = 0.2,
     x: (B, ..., C) channels-last; statistics per (batch, channel) over all
     interior axes. With phase_group=8 the statistics additionally pool over
     groups of 8 phase channels (S2D layout, ops/s2d.py `instance_norm_s2d`).
-    Falls back to the jnp implementation when fusion is disabled, under
-    autodiff, or for shapes the kernel doesn't cover.
+    Falls back to the jnp implementation when fusion is disabled or for
+    shapes the kernel doesn't cover; under autodiff the custom-JVP rule
+    differentiates the jnp implementation, so a grad traced inside an
+    `enabled()` context never hits the VJP-less pallas_call.
     """
+    return _inl(x, eps, negative_slope, phase_group)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+def _inl(x, eps, negative_slope, phase_group):
     if (_ENABLED and x.ndim >= 3
             and int(np.prod(x.shape)) >= _MIN_PALLAS_ELEMS):
         b = x.shape[0]
@@ -183,7 +191,17 @@ def instance_norm_lrelu(x, eps: float = 1e-5, negative_slope: float = 0.2,
                                      eps, negative_slope)
             if out is not None:
                 return out.reshape(x.shape)
-    # jnp fallback (also the autodiff path)
+    return _inl_jnp(x, eps, negative_slope, phase_group)
+
+
+@_inl.defjvp
+def _inl_jvp(eps, negative_slope, phase_group, primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jax.jvp(lambda v: _inl_jnp(v, eps, negative_slope, phase_group),
+                   (x,), (dx,))
+
+
+def _inl_jnp(x, eps, negative_slope, phase_group):
     if phase_group > 1:
         shape = x.shape
         v = x.reshape(shape[:-1] + (shape[-1] // phase_group, phase_group))

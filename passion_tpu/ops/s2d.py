@@ -36,10 +36,34 @@ zero weights.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import jax
 import jax.numpy as jnp
 
-from passion_tpu.ops.fused_norm import instance_norm_lrelu, is_enabled
+from passion_tpu.ops.fused_norm import instance_norm_lrelu
+
+# Trace-time flag for the s2d_pad materialization barrier (see s2d_pad).
+# Decoupled from the fused_norm toggle: the barrier is a training-trace
+# optimization, the Pallas fusion an inference-trace one; inference engines
+# disable the barrier with `no_pad_barrier()` alongside enabling fusion.
+# Like fused_norm._ENABLED this is a process-global trace-time switch (not
+# thread-safe; wrap the jitted function body, not the call).
+_PAD_BARRIER = True
+
+
+@contextmanager
+def no_pad_barrier():
+    """Disable the training-only pad materialization barrier for code traced
+    inside this context (bf16 inference measures faster WITH the pad fused
+    into the consuming conv)."""
+    global _PAD_BARRIER
+    prev = _PAD_BARRIER
+    _PAD_BARRIER = False
+    try:
+        yield
+    finally:
+        _PAD_BARRIER = prev
 
 # per-axis taps (p, q, kernel_pos=c+1, tap_pos=d+1) for k=3 stride-1
 _TAPS_K3S1 = (
@@ -181,13 +205,13 @@ def s2d_pad(x: jnp.ndarray, left: bool = True, right: bool = True,
                                         axis=ax)
             pieces.append(last * (1 - keep1))
         x = jnp.concatenate(pieces, axis=ax)
-    if not is_enabled():
+    if _PAD_BARRIER:
         # Training path: force the padded tensor to materialize. Without the
         # barrier XLA fuses the concat/mask arithmetic INTO the consuming
         # convolution's input, demoting it from the optimized conv path
         # (measured: fwd conv 5x slower; train step 1.35 -> 0.36 steps/s).
-        # The bf16 inference traces (fused_norm.enabled()) measure FASTER
-        # with the fusion, so the barrier is training-only.
+        # The bf16 inference traces measure FASTER with the fusion, so the
+        # engines disable the barrier via `no_pad_barrier()`.
         x = jax.lax.optimization_barrier(x)
     return x
 

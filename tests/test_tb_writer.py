@@ -1,0 +1,112 @@
+"""TensorBoard event-file writer: round-trip + loadability oracle.
+
+The writer (passion_tpu/engine/tb_writer.py) replaces the reference's
+`SummaryWriter` channel (reference train.py:39,342-354). Verified two ways:
+our own CRC-checking parser round-trips every record, and — when the
+`tensorboard` package is importable — TensorBoard's own EventFileLoader
+reads the file and recovers the same scalars (proving real TB can load it).
+"""
+
+import numpy as np
+import pytest
+
+from passion_tpu.engine.tb_writer import (TensorBoardWriter, crc32c,
+                                          read_scalars)
+
+# the reference's exact scalar tag set (train.py:184,342-354)
+REF_TAGS = (["lr", "epoch_losses", "epoch_fuse_losses", "epoch_prm_losses",
+             "epoch_sep_losses", "epoch_kl_losses", "epoch_proto_losses"]
+            + [f"{k}_m{m}" for m in range(4)
+               for k in ("kl", "sep", "proto", "dist", "rp")])
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vectors
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes([0] * 32)) == 0x8A9136AA
+
+
+def _write_events(tmp_path):
+    w = TensorBoardWriter(str(tmp_path), subdir="summary")
+    rows = []
+    rng = np.random.default_rng(3)
+    for step in (1, 2, 3):
+        for tag in REF_TAGS:
+            v = float(np.float32(rng.standard_normal()))
+            w.add_scalar(tag, v, step)
+            rows.append((step, tag, v))
+    w.close()
+    return w.path, rows
+
+
+def test_roundtrip_own_parser(tmp_path):
+    path, rows = _write_events(tmp_path)
+    got = read_scalars(path)
+    assert got == rows  # crc-verified, order-preserving, exact fp32
+
+
+def test_tensorboard_loads_our_files(tmp_path):
+    tb = pytest.importorskip("tensorboard")
+    del tb
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+
+    path, rows = _write_events(tmp_path)
+    got = []
+    version = None
+    for ev in EventFileLoader(path).Load():
+        if ev.HasField("file_version"):
+            version = ev.file_version
+        for v in ev.summary.value:
+            # newer TB loaders migrate simple_value into a rank-0 tensor
+            # proto in their data-compat pass; accept either form
+            if v.HasField("tensor"):
+                got.append((ev.step, v.tag, float(v.tensor.float_val[0])))
+            else:
+                got.append((ev.step, v.tag, v.simple_value))
+    assert version == "brain.Event:2"
+    assert got == rows
+
+
+def test_fit_emits_reference_tag_set(tmp_path):
+    """One tiny RFNet fit epoch writes exactly the reference tag set."""
+    import jax
+
+    from passion_tpu.engine.train_loop import fit
+    from passion_tpu.models.rfnet import RFNet
+
+    class Cfg:
+        lr = 2e-4
+        weight_decay = 1e-5
+        num_epochs = 1
+        temp = 4.0
+        region_fusion_start_epoch = 0
+        use_passion = True
+        mask_type = "idt"
+        savepath = str(tmp_path)
+        seed = 1037
+        resume = ""
+        use_pretrain = False
+        patch_size = 16
+        iters_per_epoch = 1
+
+    rng = np.random.default_rng(0)
+    s = 16
+    lab = rng.integers(0, 4, size=(1, s, s, s))
+    batch = {
+        "x": rng.standard_normal((1, s, s, s, 4)).astype(np.float32),
+        "target": np.eye(4, dtype=np.float32)[lab],
+        "mask": np.array([[True, True, False, True]]),
+        "name": ["case0"],
+    }
+    model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
+    writer = TensorBoardWriter(str(tmp_path))
+    fit(model, [batch], Cfg(), modal_num=np.array([1, 1, 1, 1]),
+        writer=writer,
+        init_params_fn=lambda k: model.init(
+            k, jax.numpy.zeros((1, s, s, s, 4)),
+            jax.numpy.ones((1, 4), bool)))
+    writer.close()
+    tags = {t for _, t, _ in read_scalars(writer.path)}
+    assert tags == set(REF_TAGS)

@@ -34,7 +34,8 @@ def main(argv=None):
     from passion_tpu.data.loader import PrefetchLoader
     from passion_tpu.engine.evaluator import run_test_sweep
     from passion_tpu.engine.sliding_window import make_engine
-    from passion_tpu.engine.train_loop import ScalarWriter, fit
+    from passion_tpu.engine.tb_writer import TensorBoardWriter
+    from passion_tpu.engine.train_loop import fit
     from passion_tpu.models import get_model
 
     logging.info(str(cfg))
@@ -56,7 +57,9 @@ def main(argv=None):
                                   num_threads=cfg.num_workers)
     modal_num = train_set.modal_counts()
 
-    writer = ScalarWriter(cfg.savepath)
+    # TensorBoard scalar channel, same location + tag set as the reference
+    # SummaryWriter (train.py:39,342-354)
+    writer = TensorBoardWriter(cfg.savepath)
     params, _, _ = fit(model, train_loader, cfg, modal_num=modal_num,
                        writer=writer)
 
