@@ -109,6 +109,8 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
     reference's mask-grouped layout byte-for-byte, including the merged
     'ET HD95ETPro HD95' header cell (train.py:587 string-concat quirk).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     masks = MASK_ARRAY if masks is None else masks
     mask_names = MASK_NAMES if mask_names is None else mask_names
     order = list(zip(list(masks)[::-1], list(mask_names)[::-1]))
@@ -117,6 +119,23 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
     sweep = hasattr(infer_volume, "sweep_labels")
     fast = hasattr(infer_volume, "infer_labels")
     n_batches = len(test_loader) if hasattr(test_loader, "__len__") else None
+
+    # HD95 (4 full-volume EDTs per (case, mask), ~seconds each on host)
+    # runs in a thread pool OVERLAPPED with the next case's device work —
+    # serial inline scoring left the accelerator idle after sweep_labels had
+    # already dispatched everything (VERDICT r1 item 6). Bounded backlog
+    # caps the retained label volumes.
+    executor = ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 4))
+    pending = []  # (mname, scores_eval_row, hd95 future) in emission order
+
+    def drain(keep: int = 0):
+        while len(pending) > keep:
+            mname, ev, fut = pending.pop(0)
+            hd = np.asarray(fut.result())
+            dm, hm = scores[mname]
+            dm.update(ev)
+            hm.update(hd)
+            rows[mname].append(list(ev) + list(hd))
 
     for i, batch in enumerate(test_loader):
         x = np.asarray(batch["x"])
@@ -145,12 +164,10 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
                     for b in range(x.shape[0])])
             _, scores_eval = dice_class4(pred_lab, target)
             scores_eval = np.asarray(scores_eval)
-            dm, hm = scores[mname]
             for k, name in enumerate(names):
-                scores_hd95 = np.array(cal_hd95(pred_lab[k], target[k]))
-                dm.update(scores_eval[k])
-                hm.update(scores_hd95)
-                rows[mname].append(list(scores_eval[k]) + list(scores_hd95))
+                pending.append((mname, scores_eval[k],
+                                executor.submit(cal_hd95, pred_lab[k],
+                                                target[k])))
                 msg = "Subject {}/{} [{}]{:>20}, ".format(
                     i + 1, n_batches if n_batches is not None else "?",
                     mname, name)
@@ -158,6 +175,10 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
                     f"{c}: {v:.4f}"
                     for c, v in zip(CLASS_EVALUATION, scores_eval[k]))
                 logging.info(msg)
+        # keep at most ~2 cases of label volumes queued behind the pool
+        drain(keep=2 * len(order) * x.shape[0])
+    drain(keep=0)
+    executor.shutdown()
 
     dice_meter = AverageMeter()
     hd95_meter = AverageMeter()

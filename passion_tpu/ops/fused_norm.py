@@ -79,16 +79,23 @@ def _stats_kernel(x_ref, out_ref):
     @pl.when(j == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        # per-lane pilot (first row): sums accumulate SHIFTED moments so
+        # E[x^2]-E[x]^2 never cancels when |mean| >> std (the out block is
+        # revisited across j steps, so the pilot persists in VMEM)
+        out_ref[0, 2, :] = x_ref[0, 0, :].astype(jnp.float32)
 
-    xf = x_ref[0].astype(jnp.float32)  # (CH, L)
+    pilot = out_ref[0, 2, :]
+    xf = x_ref[0].astype(jnp.float32) - pilot[None, :]  # (CH, L)
     out_ref[0, 0, :] += jnp.sum(xf, axis=0)
     out_ref[0, 1, :] += jnp.sum(xf * xf, axis=0)
 
 
 def _make_apply_kernel(negative_slope: float):
-    def _apply_kernel(x_ref, scale_ref, shift_ref, o_ref):
+    def _apply_kernel(x_ref, mean_ref, scale_ref, o_ref):
         x = x_ref[0].astype(jnp.float32)  # (CH, L)
-        y = x * scale_ref[0] + shift_ref[0]  # broadcast (1, L)
+        # (x - mean) * inv, NOT x*scale + shift: the latter cancels two
+        # O(|mean|*inv) terms and loses ~|mean|/std digits when |mean| >> std
+        y = (x - mean_ref[0]) * scale_ref[0]  # broadcast (1, L)
         o_ref[0] = jnp.where(y >= 0, y, y * negative_slope).astype(o_ref.dtype)
 
     return _apply_kernel
@@ -108,36 +115,41 @@ def _pallas_norm_lrelu(x3, c, count, phase_group, eps, negative_slope):
         grid=grid,
         in_specs=[pl.BlockSpec((1, ch, l), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 2, l), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 3, l), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, l), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 3, l), jnp.float32),
         interpret=_interpret(),
     )(x3)
 
-    s, s2 = stats[:, 0], stats[:, 1]  # (B, L) per-lane sums
-    # lanes repeat the channel axis (L = reps * C); aggregate duplicates,
-    # then phase groups; tiny (B, C) arrays — plain jnp
+    # Per-lane pilot-shifted moments -> per-lane (mean, M2), then Chan's
+    # stable parallel-variance merge over duplicate lanes (L = reps * C)
+    # and phase groups. Tiny (B, L) arrays — plain jnp.
+    s, s2, pil = stats[:, 0], stats[:, 1], stats[:, 2]
+    nl = float(r)  # rows per lane
+    mean_l = pil + s / nl
+    m2_l = s2 - (s * s) / nl
     reps = l // c
-    if reps > 1:
-        s = s.reshape(b, reps, c).sum(axis=1)
-        s2 = s2.reshape(b, reps, c).sum(axis=1)
-    if phase_group > 1:
-        s = s.reshape(b, c // phase_group, phase_group).sum(axis=2)
-        s2 = s2.reshape(b, c // phase_group, phase_group).sum(axis=2)
+    pg = phase_group
+    mean_g = mean_l.reshape(b, reps, c // pg, pg)
+    m2_g = m2_l.reshape(b, reps, c // pg, pg)
     n = float(count)
-    mean = s / n
-    var = s2 / n - mean * mean
+    assert abs(nl * reps * pg - n) < 0.5, (r, reps, pg, count)
+    mean = jnp.mean(mean_g, axis=(1, 3))  # (B, C/pg); equal n per lane
+    m2 = (jnp.sum(m2_g, axis=(1, 3))
+          + nl * jnp.sum(jnp.square(mean_g - mean[:, None, :, None]),
+                         axis=(1, 3)))
+    var = m2 / n
     inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
     scale_c = inv
-    shift_c = -mean * inv
+    mean_c = mean
     if phase_group > 1:
         scale_c = jnp.repeat(scale_c, phase_group, axis=1)
-        shift_c = jnp.repeat(shift_c, phase_group, axis=1)
+        mean_c = jnp.repeat(mean_c, phase_group, axis=1)
     if reps > 1:
         scale_c = jnp.tile(scale_c, (1, reps))
-        shift_c = jnp.tile(shift_c, (1, reps))
+        mean_c = jnp.tile(mean_c, (1, reps))
     scale = scale_c[:, None, :]  # (B, 1, L)
-    shift = shift_c[:, None, :]
+    meanb = mean_c[:, None, :]
 
     return pl.pallas_call(
         _make_apply_kernel(float(negative_slope)),
@@ -154,7 +166,7 @@ def _pallas_norm_lrelu(x3, c, count, phase_group, eps, negative_slope):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
         interpret=_interpret(),
-    )(x3, scale, shift)
+    )(x3, meanb, scale)
 
 
 def instance_norm_lrelu(x, eps: float = 1e-5, negative_slope: float = 0.2,

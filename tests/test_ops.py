@@ -138,6 +138,52 @@ class TestFusedNorm:
                         jnp.float32)
         self._check(x, 8)
 
+    def test_grad_inside_enabled_uses_jnp_path(self, rng):
+        """Differentiating through an enabled() context must not hit the
+        VJP-less pallas_call: the custom-JVP rule reroutes autodiff through
+        the jnp implementation (ADVICE r1 item 2)."""
+        import passion_tpu.ops.fused_norm as fn
+
+        x = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 128)), jnp.float32)
+        prev = fn._MIN_PALLAS_ELEMS
+        fn._MIN_PALLAS_ELEMS = 0
+        try:
+            with fn.enabled():
+                g = jax.grad(lambda v: jnp.sum(
+                    fn.instance_norm_lrelu(v) ** 2))(x)
+        finally:
+            fn._MIN_PALLAS_ELEMS = prev
+        g_ref = jax.grad(lambda v: jnp.sum(
+            fn.instance_norm_lrelu(v) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_large_mean_cancellation(self, rng):
+        """Statistics at a realistic worst case for activation scales
+        (|mean| >> std, ~512k elems/channel, ADVICE r1 item 3): the kernel's
+        pilot-shifted moments + Chan merge + (x-mean)*inv apply must stay
+        within ~1e-5 of the float64 ground truth — tighter than the fp32 jnp
+        fallback itself achieves at this scale (~1.4e-4), so the comparison
+        is against f64, not the fallback. Shape (1, 40^3, 128) mirrors the
+        S2D stage-1 tensors the kernel actually sees."""
+        import passion_tpu.ops.fused_norm as fn
+
+        x64 = rng.standard_normal((1, 40, 40, 40, 128)) * 0.5 + 50.0
+        m = x64.mean(axis=(1, 2, 3), keepdims=True)
+        v = ((x64 - m) ** 2).mean(axis=(1, 2, 3), keepdims=True)
+        y64 = (x64 - m) / np.sqrt(v + 1e-5)
+        y64 = np.where(y64 >= 0, y64, 0.2 * y64)
+
+        x = jnp.asarray(x64, jnp.float32)
+        prev = fn._MIN_PALLAS_ELEMS
+        fn._MIN_PALLAS_ELEMS = 0
+        try:
+            with fn.enabled():
+                got = np.asarray(fn.instance_norm_lrelu(x), np.float64)
+        finally:
+            fn._MIN_PALLAS_ELEMS = prev
+        np.testing.assert_allclose(got, y64, atol=5e-5, rtol=1e-4)
+
     def test_disabled_matches_reference_norm(self, rng):
         from passion_tpu.ops.fused_norm import instance_norm_lrelu
         from passion_tpu.ops.norm import instance_norm

@@ -49,13 +49,15 @@ def test_features_fuse_matches_call(name, rng):
                                    err_msg=f"{name} mask={mask}")
 
 
-def test_mesh_sweep_matches_single_device(rng):
+@pytest.mark.parametrize("name", ["rfnet", "mmformer", "m2ftrans"])
+def test_mesh_sweep_matches_single_device(name, rng):
     """Window chunks sharded over an 8-device CPU mesh produce the same
     coverage-averaged probabilities as the single-device sweep (BASELINE
-    config 5 / SURVEY §5 window batching)."""
+    config 5 / SURVEY §5 window batching) — for all three backbones
+    (VERDICT r1 item 4: the transformer fuse paths under shard_map)."""
     from passion_tpu.parallel.mesh import make_mesh
 
-    model, params, _ = _make("rfnet", rng)
+    model, params, _ = _make(name, rng)
     vol = rng.standard_normal((24, 24, 20, 4)).astype(np.float32)
     masks = [np.asarray(MASK_ARRAY[14]), np.asarray(MASK_ARRAY[3])]
 

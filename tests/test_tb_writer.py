@@ -102,11 +102,9 @@ def test_fit_emits_reference_tag_set(tmp_path):
     }
     model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
     writer = TensorBoardWriter(str(tmp_path))
+    del jax  # default init (train_losses path) covers decoder_sep
     fit(model, [batch], Cfg(), modal_num=np.array([1, 1, 1, 1]),
-        writer=writer,
-        init_params_fn=lambda k: model.init(
-            k, jax.numpy.zeros((1, s, s, s, 4)),
-            jax.numpy.ones((1, 4), bool)))
+        writer=writer)
     writer.close()
     tags = {t for _, t, _ in read_scalars(writer.path)}
     assert tags == set(REF_TAGS)

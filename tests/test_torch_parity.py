@@ -128,16 +128,19 @@ def torch_m2ftrans():
     [True, True, True, True],
     [True, False, False, True],
 ])
-def test_m2ftrans_transplant_inference_parity(torch_m2ftrans, mask):
+def test_m2ftrans_transplant_inference_parity(torch_m2ftrans, mask,
+                                              monkeypatch):
     """M2FTrans weight transplant: like mmFormer, the reference hardcodes
     the 5^3 bottleneck token grid (m2ftrans.py:20-23), so parity runs at the
     full 80^3 patch. The reference's attention-mask path calls
     `.cuda(non_blocking=True)` (m2ftrans.py:350) which on CPU torch is a
-    no-op error — monkeypatched to identity for the oracle run."""
+    no-op error — monkeypatched to identity for the oracle run (undone at
+    teardown)."""
     import torch
 
     if not torch.cuda.is_available():
-        torch.Tensor.cuda = lambda self, *a, **k: self  # CPU oracle
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **k: self)  # CPU oracle
 
     from passion_tpu.interop import m2ftrans_params_from_torch
     from passion_tpu.models.m2ftrans import M2FTrans
