@@ -198,3 +198,58 @@ def generate_imb_mr(train_names, csv_path, p=(0.2, 0.4, 0.6, 0.8), seed=1037):
             modal_counts += np.array(mask, dtype=np.int64)
             w.writerow([name, mid, mask, pos])
     return modal_counts
+
+
+def main(argv=None):
+    """CLI covering the reference's three standalone preprocessing scripts.
+
+    convert: preprocess_brats.py    split: data_split.py
+    imbmr:   generate_imb_mr.py
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="passion_tpu.data.preprocess")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="NIfTI cases -> vol/seg npy")
+    c.add_argument("--src", required=True, help="dir of per-case NIfTI dirs")
+    c.add_argument("--dst", required=True, help="output npy root (vol/, seg/)")
+    c.add_argument("--no-rename", action="store_true",
+                   help="skip the HG_/LG_ case-number rename")
+    c.add_argument("--min-size", type=int, default=128)
+
+    s = sub.add_parser("split", help="70/10/20 train/val/test txt lists")
+    s.add_argument("--npy-root", required=True,
+                   help="npy root from `convert` (reads vol/*.npy names)")
+    s.add_argument("--seed", type=int, default=1037)
+
+    m = sub.add_parser("imbmr", help="imbalanced-missing-rate CSV")
+    m.add_argument("--train-file", required=True,
+                   help="train.txt from `split`")
+    m.add_argument("--out-csv", required=True)
+    m.add_argument("--missing-probs", type=float, nargs=4,
+                   default=(0.2, 0.4, 0.6, 0.8),
+                   metavar=("T1", "T1C", "FLAIR", "T2"),
+                   help="per-modality missing probabilities in the "
+                        "reference's (t1, t1c, flair, t2) order")
+    m.add_argument("--seed", type=int, default=1037)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "convert":
+        convert_dataset(args.src, args.dst, rename=not args.no_rename,
+                        min_size=args.min_size)
+    elif args.cmd == "split":
+        vol_dir = os.path.join(args.npy_root, "vol")
+        names = sorted(f[:-len("_vol.npy")] for f in os.listdir(vol_dir)
+                       if f.endswith("_vol.npy"))
+        split_dataset(names, args.npy_root, seed=args.seed)
+    else:
+        with open(args.train_file) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        counts = generate_imb_mr(names, args.out_csv,
+                                 p=tuple(args.missing_probs), seed=args.seed)
+        print("present counts (flair, t1ce, t1, t2):", counts.tolist())
+
+
+if __name__ == "__main__":
+    main()

