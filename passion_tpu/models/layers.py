@@ -78,6 +78,20 @@ def split_modalities(x: jnp.ndarray, num_modals: int = NUM_MODALS):
     return [x[..., m * c:(m + 1) * c] for m in range(num_modals)]
 
 
+def blockdiag_grouped_kernel(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Grouped-conv kernel (k,k,k, Ci/G, Co) -> dense block-diagonal
+    (k,k,k, Ci, Co): output group g reads only input group g, exactly the
+    grouped-conv connectivity, with structural zeros elsewhere."""
+    k1, k2, k3, cig, co = w.shape
+    cog = co // groups
+    full = jnp.zeros((k1, k2, k3, cig * groups, co), w.dtype)
+    for g in range(groups):
+        full = full.at[..., g * cig:(g + 1) * cig,
+                       g * cog:(g + 1) * cog].set(
+            w[..., g * cog:(g + 1) * cog])
+    return full
+
+
 class Conv3d(nn.Module):
     """Plain 3D conv with torch-style explicit padding (reflect or zeros).
 
@@ -85,7 +99,15 @@ class Conv3d(nn.Module):
     groups=4, this IS four independent per-modality convs executed as one
     XLA op with a stacked weight — the TPU-native form of the reference's
     four separate encoders.
-    """
+
+    Grouped convs are EXECUTED dense with a block-diagonal kernel expanded
+    at trace time from the same per-group parameters (param tree unchanged).
+    XLA's feature_group_count handling rewrites grouped convs into 6-D
+    non-MXU fusions whose forward AND gradients run at <1% FLOP utilization
+    (profiled: 43 ms for a 4 GFLOP input-gradient at encoder stage 2, ~30%
+    of the whole mmFormer PASSION train step); the dense conv takes the
+    normal MXU convolution path, and the 4x structural-zero FLOPs are far
+    cheaper than the fallback."""
 
     features: int
     k_size: int = 3
@@ -103,6 +125,18 @@ class Conv3d(nn.Module):
             x = jnp.pad(
                 x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)), mode=mode
             )
+        if self.groups > 1:
+            kernel, bias = _RawConv(self.features,
+                                    x.shape[-1] // self.groups,
+                                    self.k_size, use_bias=self.use_bias,
+                                    name="Conv_0")()
+            dense = blockdiag_grouped_kernel(kernel, self.groups)
+            y = jax.lax.conv_general_dilated(
+                x, dense.astype(x.dtype), (self.stride,) * 3, "VALID",
+                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         return nn.Conv(
             features=self.features,
             kernel_size=(self.k_size,) * 3,
@@ -123,12 +157,14 @@ class _RawConv(nn.Module):
     features: int
     in_features: int
     k_size: int = 3
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         shape = (self.k_size,) * 3 + (self.in_features, self.features)
         kernel = self.param("kernel", conv_kernel_init, shape)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
         return kernel, bias
 
 

@@ -33,13 +33,14 @@ from passion_tpu.models.layers import (
     MaskedTransformer,
     MultiCrossToken,
     PRMFusion,
+    RawConv3dParams,
     RawGeneralConv3dParams,
     mask_channels,
     split_modalities,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
 from passion_tpu.ops import s2d
-from passion_tpu.ops.resize import upsample_nearest, upsample_trilinear
+from passion_tpu.ops.resize import (upsample2_trilinear_s2d, upsample_nearest, upsample_trilinear)
 
 NUM_MODALS = 4
 MLP_DIM = 4096
@@ -115,10 +116,31 @@ class DecoderSep(nn.Module):
         de = GeneralConv3d(c * 2, name="d2_c1")(upsample_trilinear(de, 2))
         de = GeneralConv3d(c * 2, k_size=1, padding=0, name="d2_out")(
             GeneralConv3d(c * 2, name="d2_c2")(jnp.concatenate([de, x2], axis=-1)))
-        de = GeneralConv3d(c, name="d1_c1")(upsample_trilinear(de, 2))
-        de = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
-            GeneralConv3d(c, name="d1_c2")(jnp.concatenate([de, x1], axis=-1)))
-        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de)
+        if x1.shape[1] == x2.shape[1]:  # x1 in space-to-depth layout:
+            # run the whole scale-1 stage on the block grid (ops/s2d.py) —
+            # exact polyphase execution, identical param tree via raw twins.
+            # Canonical 80-cube C=8-16 convs otherwise dominate the training
+            # backward as non-MXU weight/input-gradient fusions (profiled).
+            kd1c1 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c1")()
+            kd1c2 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c2")()
+            kd1out = RawGeneralConv3dParams(c, c, 1, name="d1_out")()
+            kseg, bseg = RawConv3dParams(self.num_cls, c, 1,
+                                         name="seg_layer")()
+            des = s2d.conv_postnorm_s2d(
+                upsample2_trilinear_s2d(de), *kd1c1, k_size=3)
+            des = s2d.conv_postnorm_s2d(
+                jnp.concatenate([des, x1], axis=-1), *kd1c2, k_size=3)
+            des = s2d.conv_postnorm_s2d(des, *kd1out, k_size=1)
+            logits = s2d.depth_to_space(
+                s2d.s2d_conv(des, s2d.s2d_conv1_kernel(kseg),
+                             s2d.s2d_bias(bseg)))
+        else:
+            de = GeneralConv3d(c, name="d1_c1")(upsample_trilinear(de, 2))
+            de = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
+                GeneralConv3d(c, name="d1_c2")(
+                    jnp.concatenate([de, x1], axis=-1)))
+            logits = Conv3d(self.num_cls, k_size=1, padding=0,
+                            name="seg_layer")(de)
         return jax.nn.softmax(logits, axis=-1)
 
 
@@ -353,6 +375,11 @@ class M2FTrans(nn.Module):
             feats, self._fusion_tokens(b), self.pos, masks, deterministic)
 
         per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
+        if self.use_s2d and all(d % 2 == 0 for d in feats[0].shape[1:4]):
+            # re-express the scale-1 modality slices in space-to-depth layout
+            # (a pure reshape/transpose) so DecoderSep runs its scale-1 stage
+            # densely on the block grid instead of at 80^3 with C=8-16.
+            per_mod[0] = [s2d.space_to_depth(t) for t in per_mod[0]]
         sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(5)])
                      for m in range(NUM_MODALS)]
 

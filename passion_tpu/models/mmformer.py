@@ -115,7 +115,15 @@ class GroupedEncoder(nn.Module):
 
 class DecoderSep(nn.Module):
     """Shared 5-scale per-modality decoder -> softmax (mmformer.py:66-114).
-    Applied once per modality with tied params (single-modality inputs)."""
+    Applied once per modality with tied params (single-modality inputs).
+
+    If x1 arrives in space-to-depth layout (detected by matching x2's
+    spatial size), the whole scale-1 stage runs on the 40-cube block grid
+    with dense channels (ops/s2d.py) — exact polyphase execution, identical
+    param tree via raw twins. The canonical 80-cube scale-1 convs at C=8-16
+    otherwise dominate the training backward: XLA computes their weight
+    gradients as non-MXU fusions at <1% FLOP utilization (profiled,
+    scripts/trace_train.py)."""
 
     num_cls: int = 4
     basic_dims: int = 8
@@ -135,11 +143,27 @@ class DecoderSep(nn.Module):
         de = GeneralConv3dPreNorm(c * 2, k_size=1, padding=0, name="d2_out")(
             GeneralConv3dPreNorm(c * 2, name="d2_c2")(
                 jnp.concatenate([de, x2], axis=-1)))
-        de = GeneralConv3dPreNorm(c, name="d1_c1")(upsample_trilinear(de, 2))
-        de = GeneralConv3dPreNorm(c, k_size=1, padding=0, name="d1_out")(
-            GeneralConv3dPreNorm(c, name="d1_c2")(
-                jnp.concatenate([de, x1], axis=-1)))
-        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de)
+        if x1.shape[1] == x2.shape[1]:  # x1 in space-to-depth layout
+            kd1c1 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c1")()
+            kd1c2 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c2")()
+            kd1out = RawGeneralConv3dParams(c, c, 1, name="d1_out")()
+            kseg, bseg = RawConv3dParams(self.num_cls, c, 1,
+                                         name="seg_layer")()
+            des = s2d.prenorm_conv_s2d(upsample2_trilinear_s2d(de), *kd1c1,
+                                       k_size=3)
+            des = s2d.prenorm_conv_s2d(
+                jnp.concatenate([des, x1], axis=-1), *kd1c2, k_size=3)
+            des = s2d.prenorm_conv_s2d(des, *kd1out, k_size=1)
+            logits = s2d.depth_to_space(
+                s2d.s2d_conv(des, s2d.s2d_conv1_kernel(kseg),
+                             s2d.s2d_bias(bseg)))
+        else:
+            de = GeneralConv3dPreNorm(c, name="d1_c1")(upsample_trilinear(de, 2))
+            de = GeneralConv3dPreNorm(c, k_size=1, padding=0, name="d1_out")(
+                GeneralConv3dPreNorm(c, name="d1_c2")(
+                    jnp.concatenate([de, x1], axis=-1)))
+            logits = Conv3d(self.num_cls, k_size=1, padding=0,
+                            name="seg_layer")(de)
         return jax.nn.softmax(logits, axis=-1)
 
 
@@ -411,10 +435,10 @@ class MMFormer(nn.Module):
         fuse_logits, prms, de_feats = self.fuse_path(
             feats[:4], intra, pos_all, masks, deterministic)
 
-        fconv = list(feats)
-        if fconv[0].shape[1] == fconv[1].shape[1]:  # x1 in S2D layout
-            fconv[0] = s2d.depth_to_space(fconv[0])
-        per_mod = [split_modalities(f) for f in fconv]  # [scale][modality]
+        # x1 stays in S2D layout: the modality slice is contiguous there too
+        # (modality-major original channels, each expanded by 8 phases), and
+        # DecoderSep runs its scale-1 stage on the block grid directly.
+        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
         sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(5)])
                      for m in range(NUM_MODALS)]
 

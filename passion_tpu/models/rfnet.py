@@ -125,11 +125,32 @@ class DecoderSep(nn.Module):
         cat_x2 = jnp.concatenate([de_x3, x2], axis=-1)
         de_x2 = GeneralConv3d(c * 2, k_size=1, padding=0, name="d2_out")(
             GeneralConv3d(c * 2, name="d2_c2")(cat_x2))
-        de_x2 = GeneralConv3d(c, name="d1_c1")(upsample_trilinear(de_x2, 2))
-        cat_x1 = jnp.concatenate([de_x2, x1], axis=-1)
-        de_x1 = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
-            GeneralConv3d(c, name="d1_c2")(cat_x1))
-        logits = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_layer")(de_x1)
+        if x1.shape[1] == x2.shape[1]:  # x1 in space-to-depth layout:
+            # run the whole scale-1 stage on the block grid (ops/s2d.py) —
+            # exact polyphase execution, identical param tree via raw twins.
+            # Canonical 80-cube C=8-16 convs otherwise dominate the training
+            # backward as non-MXU weight/input-gradient fusions (profiled).
+            kd1c1 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c1")()
+            kd1c2 = RawGeneralConv3dParams(c, c * 2, 3, name="d1_c2")()
+            kd1out = RawGeneralConv3dParams(c, c, 1, name="d1_out")()
+            kseg, bseg = RawConv3dParams(self.num_cls, c, 1,
+                                         name="seg_layer")()
+            des = s2d.conv_postnorm_s2d(
+                upsample2_trilinear_s2d(de_x2), *kd1c1, k_size=3)
+            des = s2d.conv_postnorm_s2d(
+                jnp.concatenate([des, x1], axis=-1), *kd1c2, k_size=3)
+            des = s2d.conv_postnorm_s2d(des, *kd1out, k_size=1)
+            logits = s2d.depth_to_space(
+                s2d.s2d_conv(des, s2d.s2d_conv1_kernel(kseg),
+                             s2d.s2d_bias(bseg)))
+        else:
+            de_x2 = GeneralConv3d(c, name="d1_c1")(
+                upsample_trilinear(de_x2, 2))
+            cat_x1 = jnp.concatenate([de_x2, x1], axis=-1)
+            de_x1 = GeneralConv3d(c, k_size=1, padding=0, name="d1_out")(
+                GeneralConv3d(c, name="d1_c2")(cat_x1))
+            logits = Conv3d(self.num_cls, k_size=1, padding=0,
+                            name="seg_layer")(de_x1)
         return jax.nn.softmax(logits, axis=-1)
 
 
@@ -333,10 +354,10 @@ class RFNet(nn.Module):
         fuse_logits, prms, de_feats = self.decoder_fuse(x1, x2, x3, x4, masks)
 
         # Shared sep decoder per modality (tied weights, rfnet.py:248-260).
-        fconv = list(feats)
-        if fconv[0].shape[1] == fconv[1].shape[1]:  # x1 in S2D layout
-            fconv[0] = s2d.depth_to_space(fconv[0])
-        per_mod = [split_modalities(f) for f in fconv]  # [scale][modality]
+        # x1 stays in S2D layout: the modality slice is contiguous there too
+        # (modality-major original channels, each expanded by 8 phases), and
+        # DecoderSep runs its scale-1 stage on the block grid directly.
+        per_mod = [split_modalities(f) for f in feats]  # [scale][modality]
         sep_preds = [self.decoder_sep(*[per_mod[k][m] for k in range(4)])
                      for m in range(NUM_MODALS)]
 

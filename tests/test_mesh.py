@@ -102,12 +102,15 @@ def test_mesh_fit_matches_single_device(mesh_train_setup, tmp_path,
     mmFormer backbone too (vmapped FusePath + dropout rng under the mesh,
     VERDICT r1 item 4).
 
-    Params are compared LOOSELY: AdamW normalizes each element by
-    sqrt(v)+eps, so elements whose true gradient is numerically ~0 get a
-    +/-lr update whose SIGN depends on the fp reduction order — exact
-    param equality across device counts is unattainable by construction.
-    A real sharding bug (partial batch, wrong axis) changes the losses,
-    which are checked tightly."""
+    Tolerances: AdamW normalizes each element by sqrt(v)+eps, so elements
+    whose true gradient is numerically ~0 get a +/-lr update whose SIGN
+    depends on the fp reduction order — exact param equality across device
+    counts is unattainable by construction (params: atol ~ n_steps*lr).
+    The epoch-MEAN losses include iteration 2, computed against params that
+    already carry that +/-lr drift from step 1, so they inherit a relative
+    difference of order lr (measured ~3e-4 at lr=1e-3): rtol=2e-3 bounds
+    the drift while still catching any real sharding bug (a dropped or
+    double-counted sample shifts the mean loss by O(1/batch) ~ 1e-1)."""
     root, ds = mesh_train_setup
     p1, h1 = _run_fit(tmp_path, ds, f"single_{model_name}", mesh=None,
                       model_name=model_name)
@@ -116,7 +119,7 @@ def test_mesh_fit_matches_single_device(mesh_train_setup, tmp_path,
     assert len(h8) == len(h1) == 1
     for k in ("loss", "fuse_loss", "prm_loss", "sep_loss", "kl_loss",
               "proto_loss"):
-        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=1e-4,
+        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=2e-3,
                                    err_msg=k)
     flat1 = jax.tree_util.tree_leaves(p1)
     flat8 = jax.tree_util.tree_leaves(p8)
@@ -131,15 +134,17 @@ def test_mesh_fit_ragged_batch_matches_single_device(mesh_train_setup,
                                                      tmp_path):
     """bs=3 on an 8-device mesh: ragged batches are padded with valid=0
     rows (train_loop.fit), so every sample still trains and the epoch
-    losses match the single-device run exactly — the reference trains on
-    all samples (train.py:198-210), VERDICT r1 item 8."""
+    losses match the single-device run — the reference trains on all
+    samples (train.py:198-210), VERDICT r1 item 8. (rtol as in
+    test_mesh_fit_matches_single_device: post-step-1 epoch means inherit
+    the +/-lr AdamW drift.)"""
     root, ds = mesh_train_setup
     _, h1 = _run_fit(tmp_path, ds, "ragged_single", mesh=None, batch_size=3)
     _, h8 = _run_fit(tmp_path, ds, "ragged_mesh8", mesh=make_mesh(8),
                      batch_size=3)
     for k in ("loss", "fuse_loss", "prm_loss", "sep_loss", "kl_loss",
               "proto_loss"):
-        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=1e-4,
+        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=2e-3,
                                    err_msg=k)
 
 
