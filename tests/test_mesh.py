@@ -83,12 +83,13 @@ def _cfg(tmp_path, name, **kw):
 
 
 def _run_fit(tmp_path, ds, name, mesh=None, model_name="rfnet",
-             batch_size=8):
+             batch_size=8, **cfg_kw):
     loader = PrefetchLoader(ds, batch_size=batch_size, shuffle=True, seed=3,
                             num_threads=1)
     model = _make_model(model_name)
     params, _, history = fit(model, loader,
-                             _cfg(tmp_path, name, batch_size=batch_size),
+                             _cfg(tmp_path, name, batch_size=batch_size,
+                                  **cfg_kw),
                              mesh=mesh, modal_num=ds.modal_counts())
     return jax.device_get(params), history
 
@@ -102,32 +103,43 @@ def test_mesh_fit_matches_single_device(mesh_train_setup, tmp_path,
     mmFormer backbone too (vmapped FusePath + dropout rng under the mesh,
     VERDICT r1 item 4).
 
-    Tolerances: AdamW normalizes each element by sqrt(v)+eps, so elements
-    whose true gradient is numerically ~0 get a +/-lr update whose SIGN
-    depends on the fp reduction order — exact param equality across device
-    counts is unattainable by construction (params: atol ~ n_steps*lr).
-    The epoch-MEAN losses include iteration 2, computed against params that
-    already carry that +/-lr drift from step 1, so they inherit a relative
-    difference of order lr (measured ~3e-4 at lr=1e-3): rtol=2e-3 bounds
-    the drift while still catching any real sharding bug (a dropped or
-    double-counted sample shifts the mean loss by O(1/batch) ~ 1e-1)."""
+    Assertion structure (1 iter/epoch x 2 epochs so the two signals
+    separate):
+      * epoch-0 losses are computed on IDENTICAL params — any difference
+        is cross-compilation numerics: the sharded and single-device
+        programs tile convs differently, so bf16 activations round
+        differently, and the KL's clamp(0.005)+log amplifies that to a few
+        1e-4 relative (measured 1.9e-4). rtol 1e-3 bounds it; a real
+        sharding bug (dropped/double-counted sample, wrong axis) shifts
+        these by O(1/batch) ~ 1e-1.
+      * epoch-1 losses and final params carry AdamW +/-lr drift: elements
+        whose true gradient is numerically ~0 get a +/-lr update whose SIGN
+        depends on the reduction order, so post-update quantities differ at
+        the lr=1e-3 scale by construction — and the BINARY rp preference
+        gate (rp_iter > 0, train.py:239-268) can flip under that drift,
+        discontinuously swapping whole modality terms in/out of sep/proto.
+        Epoch-1 losses therefore only get a factor-2 sanity band (measured
+        gate-flip jump: 25% on sep_loss); params are bounded by the AdamW
+        step size itself (|update| <= ~lr regardless of gradient: atol
+        2 steps x ~2e-3)."""
     root, ds = mesh_train_setup
     p1, h1 = _run_fit(tmp_path, ds, f"single_{model_name}", mesh=None,
-                      model_name=model_name)
+                      model_name=model_name, num_epochs=2, iters_per_epoch=1)
     p8, h8 = _run_fit(tmp_path, ds, f"mesh8_{model_name}", mesh=make_mesh(8),
-                      model_name=model_name)
-    assert len(h8) == len(h1) == 1
+                      model_name=model_name, num_epochs=2, iters_per_epoch=1)
+    assert len(h8) == len(h1) == 2
     for k in ("loss", "fuse_loss", "prm_loss", "sep_loss", "kl_loss",
               "proto_loss"):
-        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=2e-3,
-                                   err_msg=k)
+        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=1e-3,
+                                   err_msg=f"epoch0 {k}")
+        assert 0.5 * h1[1][k] - 1e-3 <= h8[1][k] <= 2.0 * h1[1][k] + 1e-3, (
+            f"epoch1 {k}: {h8[1][k]} vs {h1[1][k]}")
     flat1 = jax.tree_util.tree_leaves(p1)
     flat8 = jax.tree_util.tree_leaves(p8)
     assert len(flat1) == len(flat8)
     for a, b in zip(flat1, flat8):
-        # bound: two optimizer steps of lr=1e-3 drift at most ~2e-3/elem
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
-                                   atol=3e-3)
+                                   atol=4.2e-3)
 
 
 def test_mesh_fit_ragged_batch_matches_single_device(mesh_train_setup,
@@ -135,17 +147,20 @@ def test_mesh_fit_ragged_batch_matches_single_device(mesh_train_setup,
     """bs=3 on an 8-device mesh: ragged batches are padded with valid=0
     rows (train_loop.fit), so every sample still trains and the epoch
     losses match the single-device run — the reference trains on all
-    samples (train.py:198-210), VERDICT r1 item 8. (rtol as in
-    test_mesh_fit_matches_single_device: post-step-1 epoch means inherit
-    the +/-lr AdamW drift.)"""
+    samples (train.py:198-210), VERDICT r1 item 8. (Assertion structure as
+    in test_mesh_fit_matches_single_device: epoch-0 pre-update losses are
+    tight, epoch-1 carries AdamW +/-lr drift.)"""
     root, ds = mesh_train_setup
-    _, h1 = _run_fit(tmp_path, ds, "ragged_single", mesh=None, batch_size=3)
+    _, h1 = _run_fit(tmp_path, ds, "ragged_single", mesh=None, batch_size=3,
+                     num_epochs=2, iters_per_epoch=1)
     _, h8 = _run_fit(tmp_path, ds, "ragged_mesh8", mesh=make_mesh(8),
-                     batch_size=3)
+                     batch_size=3, num_epochs=2, iters_per_epoch=1)
     for k in ("loss", "fuse_loss", "prm_loss", "sep_loss", "kl_loss",
               "proto_loss"):
-        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=2e-3,
-                                   err_msg=k)
+        np.testing.assert_allclose(h8[0][k], h1[0][k], rtol=1e-3,
+                                   err_msg=f"epoch0 {k}")
+        assert 0.5 * h1[1][k] - 1e-3 <= h8[1][k] <= 2.0 * h1[1][k] + 1e-3, (
+            f"epoch1 {k}: {h8[1][k]} vs {h1[1][k]}")
 
 
 def test_fit_deterministic_same_seed(mesh_train_setup, tmp_path):
