@@ -202,3 +202,47 @@ class TestFusedNorm:
         np.testing.assert_allclose(
             np.asarray(instance_norm_lrelu(x, phase_group=8)),
             np.asarray(ref), atol=1e-6)
+
+
+class TestBlockdiagGroupedConv:
+    """Conv3d(groups>1) executes grouped convs as dense block-diagonal
+    convolutions (models/layers.py): XLA's feature_group_count rewrite runs
+    the backward as non-MXU fusions at <1% utilization on TPU (PROFILE.md).
+    The dense execution must match torch's grouped Conv3d exactly, values
+    AND gradients, with the feature_group_count-compatible param tree."""
+
+    def test_matches_torch_grouped_conv_and_grads(self, rng):
+        from passion_tpu.models.layers import Conv3d
+
+        B, S, G, CIG, COG = 2, 6, 4, 3, 5
+        x = rng.standard_normal((B, S, S, S, G * CIG)).astype(np.float32)
+        m = Conv3d(G * COG, k_size=3, groups=G, pad_type="zeros")
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        kernel = np.asarray(params["params"]["Conv_0"]["kernel"])
+        bias = np.asarray(params["params"]["Conv_0"]["bias"])
+        assert kernel.shape == (3, 3, 3, CIG, G * COG)
+
+        def loss_fn(p):
+            y = m.apply(p, jnp.asarray(x))
+            return jnp.sum(jnp.square(y)), y
+
+        (_, y), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        # torch grouped conv: weight (out, in/G, k, k, k)
+        tw = torch.tensor(
+            kernel.transpose(4, 3, 0, 1, 2), requires_grad=True)
+        tb = torch.tensor(bias, requires_grad=True)
+        tx = torch.tensor(x.transpose(0, 4, 1, 2, 3))
+        ty = F.conv3d(tx, tw, tb, padding=1, groups=G)
+        torch.sum(ty ** 2).backward()
+
+        np.testing.assert_allclose(
+            np.asarray(y), ty.detach().numpy().transpose(0, 2, 3, 4, 1),
+            atol=2e-4)
+        gk = np.asarray(grads["params"]["Conv_0"]["kernel"])
+        np.testing.assert_allclose(
+            gk, tw.grad.numpy().transpose(2, 3, 4, 1, 0),
+            rtol=2e-3, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(grads["params"]["Conv_0"]["bias"]), tb.grad.numpy(),
+            rtol=2e-3, atol=2e-2)
