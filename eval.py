@@ -38,7 +38,8 @@ def main(argv=None):
 
     logging.info(str(cfg))
     model = get_model(cfg.model, num_cls=cfg.num_cls,
-                      mask_type=cfg.mask_type, patch_size=cfg.patch_size)
+                      mask_type=cfg.mask_type, patch_size=cfg.patch_size,
+                      **cfg.model_kwargs)
     params = init_params(model, jax.random.PRNGKey(cfg.seed),
                          patch_size=cfg.patch_size)
     if not cfg.resume:
@@ -50,8 +51,13 @@ def main(argv=None):
                          root=cfg.dataset_path, test_file="test.txt")
     test_loader = PrefetchLoader(test_set, batch_size=1, shuffle=False,
                                  num_threads=1)
+    mesh = None
+    if cfg.data_parallel:
+        from passion_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(None if cfg.data_parallel < 0 else cfg.data_parallel)
+        logging.info("data-parallel mesh over %d device(s)", mesh.size)
     engine = make_engine(model, cfg.num_cls, cfg.patch_size,
-                         window_batch=cfg.window_batch)
+                         window_batch=cfg.window_batch, mesh=mesh)
     csv_name = os.path.join(cfg.savepath, f"{cfg.model}.csv")
     avg_dice, avg_hd95, _ = run_test_sweep(
         test_loader, engine, params, csv_name=csv_name, dataname=cfg.dataname)

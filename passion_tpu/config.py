@@ -49,6 +49,8 @@ class TrainConfig:
     dataroot: str | None = None
     # TPU-build extras (defaults match the reference's hardcoded values)
     patch_size: int = 80
+    basic_dims: int | None = None  # override backbone width (smoke runs)
+    data_parallel: int = 0  # 0=single device, -1=all devices, N=first N
     num_cls: int = 4
     window_batch: int = 16
     num_workers: int = 8
@@ -59,6 +61,11 @@ class TrainConfig:
     def __post_init__(self):
         if not self.train_transforms:
             self.train_transforms = train_transforms_for(self.patch_size)
+
+    @property
+    def model_kwargs(self) -> dict:
+        """kwargs for models.get_model beyond the reference surface."""
+        return {"basic_dims": self.basic_dims} if self.basic_dims else {}
 
     @property
     def dataroot_path(self) -> str:
@@ -102,6 +109,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataroot", default=None, type=str,
                    help="dataset root (default: ../datasets next to package)")
     p.add_argument("--patch_size", default=d.patch_size, type=int)
+    p.add_argument("--basic_dims", default=None, type=int,
+                   help="override backbone conv width (reference hardcodes "
+                        "8, rfnet.py:11/mmformer.py:11; small values for "
+                        "smoke runs)")
+    p.add_argument("--data_parallel", default=d.data_parallel, type=int,
+                   help="data-parallel mesh size: 0 = single device, "
+                        "-1 = all visible devices, N = first N devices "
+                        "(replaces the reference's nn.DataParallel, "
+                        "train.py:90)")
     p.add_argument("--window_batch", default=d.window_batch, type=int)
     p.add_argument("--num_workers", default=d.num_workers, type=int)
     p.add_argument("--iters_per_epoch", default=None, type=int)

@@ -26,6 +26,8 @@ coverage-weighted averaging) but executes it as device-wide batches:
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -231,13 +233,19 @@ class SlidingWindowInference:
 
 
 def make_engine(model, num_cls: int = 4, patch: int = 80,
-                window_batch: int = 8, **kw):
+                window_batch: int = 8, mesh=None, **kw):
     """Best sliding-window engine for `model`: the feature-reusing sweep
     engine when the backbone exposes the features/fuse_inference split,
-    else the plain batched engine."""
+    else the plain batched engine. `mesh` (a jax.sharding.Mesh with a
+    'data' axis) shards the window chunks — sweep engine only."""
     if hasattr(type(model), "features") and hasattr(type(model),
                                                     "fuse_inference"):
-        return SlidingWindowSweep(model, num_cls, patch, window_batch, **kw)
+        return SlidingWindowSweep(model, num_cls, patch, window_batch,
+                                  mesh=mesh, **kw)
+    if mesh is not None:
+        logging.warning("mesh sharding requires the sweep engine; %s lacks "
+                        "the features/fuse_inference split — running "
+                        "single-device", type(model).__name__)
     return SlidingWindowInference(model.apply, num_cls, patch, window_batch,
                                   **kw)
 

@@ -168,6 +168,71 @@ def make_train_step(model, tx, use_passion: bool, num_cls: int = 4,
     return step
 
 
+def make_val_step(model, num_cls: int = 4, compute_dtype=jnp.bfloat16):
+    """Validation scoring step — a WORKING rebuild of the reference's
+    disabled `--use_valid` loop (train.py:468-544, fully commented out and
+    additionally targeting a stale 3-output model API, so it is dead code
+    as shipped).
+
+    Semantics kept: baseline (non-PASSION) training forward on a validation
+    crop under an explicit modality mask; score = -(fuse + sep + prm) loss.
+    Deviation (documented): the loss is the batch-mean of our per-sample
+    loss terms (fuse_loss_bs + Σ_k sep[:,k] + prm) rather than the stale
+    block's whole-batch reductions — the score is a relative
+    model-selection signal, and per-sample terms are what the live model
+    API exposes.
+    """
+    train_method = type(model).train_losses
+
+    def cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda v: v.astype(compute_dtype)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v, tree)
+
+    @jax.jit
+    def val_step(params, x, mask, target, temp):
+        pc = cast(params)
+        xc = x if compute_dtype is None else x.astype(compute_dtype)
+        out = model.apply(pc, xc, mask, target, temp, False,
+                          method=train_method)
+        fuse = losses.fuse_loss_bs(out["fuse_pred"], target,
+                                   num_cls).astype(jnp.float32)
+        loss_b = (fuse[:, 0]
+                  + jnp.sum(out["sep_loss"].astype(jnp.float32), axis=1)
+                  + out["prm_loss"].astype(jnp.float32)[:, 0])
+        return jnp.mean(loss_b)
+
+    return val_step
+
+
+def run_validation(val_step, params, val_loader, temp,
+                   iters: int | None = None):
+    """One validation sweep: every batch under each of the 15 modality
+    combinations (reference's masks_valid_array == the canonical 15-mask
+    table, train.py:53-56). Returns scores (15,) where score[j] is the
+    accumulated NEGATIVE loss for mask j (higher = better), matching
+    `score_modality[j] -= loss.item()` (train.py:504)."""
+    from passion_tpu.masks import MASK_ARRAY
+
+    n = iters or len(val_loader)
+    scores = np.zeros((len(MASK_ARRAY),), np.float64)
+    temp = jnp.asarray(temp, jnp.float32)
+    for j, m in enumerate(MASK_ARRAY):
+        pending = []
+        for i, batch in enumerate(val_loader):
+            if i >= n:
+                break
+            b = batch["x"].shape[0]
+            mask = jnp.asarray(np.broadcast_to(m, (b, NUM_MODALS)))
+            pending.append(val_step(
+                params, jnp.asarray(batch["x"], jnp.float32), mask,
+                jnp.asarray(batch["target"], jnp.float32), temp))
+        scores[j] = -float(np.sum([np.asarray(p) for p in pending]))
+    return scores
+
+
 def update_imb_beta(imb_beta, eta, epoch_dist_m, epoch, warmup_epochs):
     """Per-epoch gradient-wise preference update (train.py:325-335).
 
@@ -206,7 +271,7 @@ class ScalarWriter:
 
 
 def fit(model, train_loader, cfg, modal_num=None, writer=None,
-        init_params_fn=None, mesh=None):
+        init_params_fn=None, mesh=None, val_loader=None):
     """The PASSION epoch loop (train.py:177-373).
 
     Args:
@@ -219,6 +284,10 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
         (train.py:163-168); required for idt weighting/metrics.
       mesh: optional jax.sharding.Mesh with a 'data' axis for multi-chip
         data parallelism.
+      val_loader: optional PrefetchLoader over BratsVal; with
+        cfg.use_valid, runs the 15-mask validation sweep each epoch and
+        keeps `model_best.msgpack` (the reference's disabled --use_valid
+        machinery, train.py:468-544, rebuilt working).
 
     Returns final (params, opt_state, history).
     """
@@ -259,6 +328,11 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
     imb_beta = np.ones((NUM_MODALS,), np.float32)
     eta = 0.01
     history = []
+
+    use_valid = bool(getattr(cfg, "use_valid", False)) and val_loader is not None
+    if use_valid:
+        val_step = make_val_step(model, model.num_cls)
+        best_score, best_epoch = None, start_epoch
 
     if mesh is not None:
         from passion_tpu.parallel.mesh import replicate, shard_batch_fn
@@ -377,6 +451,34 @@ def fit(model, train_loader, cfg, modal_num=None, writer=None,
         for path in ckpt.checkpoint_paths(cfg.savepath, epoch,
                                           cfg.num_epochs):
             ckpt.save_checkpoint(path, state)
+
+        if use_valid:
+            # 15-mask validation sweep -> model_best (train.py:468-544).
+            from passion_tpu.masks import MASK_NAMES
+
+            b_val = time.time()
+            logging.info("#############validation############")
+            scores = run_validation(
+                val_step, params, val_loader, cfg.temp,
+                iters=getattr(cfg, "iters_per_epoch", None))
+            score_avg = float(np.mean(scores))
+            if best_score is None:
+                # reference quirk kept: the first validated epoch seeds
+                # best_score WITHOUT writing model_best (train.py:524-526)
+                best_score, best_epoch = score_avg, epoch
+            elif score_avg > best_score:
+                best_score, best_epoch = score_avg, epoch
+                ckpt.save_checkpoint(
+                    os.path.join(cfg.savepath, "model_best.msgpack"), state)
+            if writer:
+                for z, name in enumerate(MASK_NAMES):
+                    writer.add_scalar(name, scores[z], epoch + 1)
+                writer.add_scalar("score_average", score_avg, epoch + 1)
+            logging.info("epoch total score: %s", score_avg)
+            logging.info("best score: %s", best_score)
+            logging.info("best epoch: %d", best_epoch + 1)
+            logging.info("validate time per epoch: %s", time.time() - b_val)
+
         history.append(dict(epoch=epoch, **acc,
                             imb_beta=np.asarray(imb_beta).tolist()))
 

@@ -6,7 +6,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CKPT=${1:?usage: scripts/eval.sh CHECKPOINT [DATAPATH] [SAVEPATH]}
-DATAPATH=${2:-datasets/BraTS/BRATS2020_Training_none_npy}
+DATAPATH=${2:-BraTS/BRATS2020_Training_none_npy}  # relative to the dataroot
 SAVE=${3:-runs/eval}
 
 python eval.py \

@@ -5,8 +5,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-DATAPATH=${1:-datasets/BraTS/BRATS2020_Training_none_npy}
-IMBMR=${2:-datasets/BraTS/brats_split/Brats2020_imb_split_mr2468.csv}
+# Both paths are relative to the dataroot (default: datasets/ next to the
+# package), matching the reference (options.py:29,45).
+DATAPATH=${1:-BraTS/BRATS2020_Training_none_npy}
+IMBMR=${2:-BraTS/brats_split/Brats2020_imb_split_mr2468.csv}
 SAVE=${3:-runs/mmformer_passion_idt_mr2468}
 
 python train.py \

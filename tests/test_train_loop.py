@@ -76,6 +76,43 @@ def test_fit_no_passion(train_setup, tmp_path):
     assert history[0]["kl_loss"] == 0.0
 
 
+def test_fit_use_valid_scores_and_model_best(train_setup, tmp_path):
+    """Working --use_valid path (reference train.py:468-544, disabled there):
+    per-epoch 15-mask validation scores on all three channels + the exact
+    model_best selection rule (first epoch seeds best WITHOUT saving)."""
+    import json
+
+    from passion_tpu.data.datasets import BratsVal
+    from passion_tpu.engine.train_loop import ScalarWriter
+    from passion_tpu.masks import MASK_NAMES
+
+    root, ds = train_setup
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                            num_threads=2)
+    val_ds = BratsVal(
+        transforms=f"Compose([RandCrop3D(({PATCH},{PATCH},{PATCH})), "
+                   "NumpyType((np.float32, np.int64)),])",
+        root=str(root), train_file="val.txt")
+    val_loader = PrefetchLoader(val_ds, batch_size=1, shuffle=False,
+                                num_threads=1)
+    cfg = _cfg(tmp_path, use_valid=True, num_epochs=3)
+    model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
+    writer = ScalarWriter(cfg.savepath)
+    fit(model, loader, cfg, modal_num=ds.modal_counts(), writer=writer,
+        val_loader=val_loader)
+    writer.close()
+
+    with open(os.path.join(cfg.savepath, "summary", "scalars.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    scores = [r["value"] for r in rows if r["tag"] == "score_average"]
+    assert len(scores) == 3 and np.isfinite(scores).all()
+    assert set(MASK_NAMES) <= {r["tag"] for r in rows}  # per-mask scalars
+    # model_best saved iff a later epoch beat the running best
+    should_save = scores[1] > scores[0] or scores[2] > max(scores[:2])
+    assert os.path.exists(
+        os.path.join(cfg.savepath, "model_best.msgpack")) == should_save
+
+
 def test_lr_schedule_matches_reference_poly():
     # reference: round(lr * (1 - e/n)^0.9, 8) (lr_scheduler.py:16-17)
     assert lr_at_epoch(0, 2e-4, 300) == 2e-4

@@ -30,7 +30,7 @@ def main(argv=None):
 
     import jax
 
-    from passion_tpu.data.datasets import BratsTest, BratsTrainIDT
+    from passion_tpu.data.datasets import BratsTest, BratsTrainIDT, BratsVal
     from passion_tpu.data.loader import PrefetchLoader
     from passion_tpu.engine.evaluator import run_test_sweep
     from passion_tpu.engine.sliding_window import make_engine
@@ -44,7 +44,18 @@ def main(argv=None):
         raise SystemExit("dataset is error")
 
     model = get_model(cfg.model, num_cls=cfg.num_cls,
-                      mask_type=cfg.mask_type, patch_size=cfg.patch_size)
+                      mask_type=cfg.mask_type, patch_size=cfg.patch_size,
+                      **cfg.model_kwargs)
+
+    # Data-parallel mesh (replaces the reference's nn.DataParallel,
+    # train.py:90): batch axis sharded, params replicated, XLA emits the
+    # gradient all-reduce over ICI.
+    mesh = None
+    if cfg.data_parallel:
+        from passion_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(None if cfg.data_parallel < 0 else cfg.data_parallel)
+        logging.info("data-parallel mesh over %d device(s): %s", mesh.size,
+                     [str(d) for d in mesh.devices.flat])
 
     if cfg.mask_type not in ("pdt", "idt", "idt_drop"):
         raise SystemExit("training setting is error")
@@ -57,11 +68,24 @@ def main(argv=None):
                                   num_threads=cfg.num_workers)
     modal_num = train_set.modal_counts()
 
+    # Working --use_valid path (the reference's is commented out,
+    # train.py:135-141,468-544): per-epoch 15-mask validation scoring with
+    # model_best checkpointing. Val set = val.txt with train transforms
+    # (train.py:122).
+    val_loader = None
+    if cfg.use_valid:
+        val_set = BratsVal(transforms=cfg.train_transforms,
+                           root=cfg.dataset_path, num_cls=cfg.num_cls,
+                           train_file="val.txt")
+        val_loader = PrefetchLoader(val_set, batch_size=cfg.batch_size,
+                                    shuffle=True, seed=cfg.seed,
+                                    num_threads=cfg.num_workers)
+
     # TensorBoard scalar channel, same location + tag set as the reference
     # SummaryWriter (train.py:39,342-354)
     writer = TensorBoardWriter(cfg.savepath)
     params, _, _ = fit(model, train_loader, cfg, modal_num=modal_num,
-                       writer=writer)
+                       writer=writer, val_loader=val_loader, mesh=mesh)
 
     # final 15-combination test sweep (train.py:578-607)
     test_set = BratsTest(transforms=cfg.test_transforms,
@@ -69,7 +93,7 @@ def main(argv=None):
     test_loader = PrefetchLoader(test_set, batch_size=1, shuffle=False,
                                  num_threads=1)
     engine = make_engine(model, cfg.num_cls, cfg.patch_size,
-                         window_batch=cfg.window_batch)
+                         window_batch=cfg.window_batch, mesh=mesh)
     csv_name = os.path.join(cfg.savepath, f"{cfg.model}.csv")
     logging.info("###########test last epoch model###########")
     avg_dice, avg_hd95, _ = run_test_sweep(
