@@ -211,7 +211,36 @@ BASELINE_BASIS = (
 )
 
 
+def _backend_watchdog(seconds: int = 600):
+    """Fail fast instead of hanging when the TPU tunnel is down: backend
+    initialization (`jax.devices()`) blocks indefinitely when the axon
+    tunnel is unreachable, which would wedge an unattended bench run.
+
+    A daemon *thread* (not SIGALRM: the hang is inside a blocking C call,
+    so a Python-level signal handler would never get to run) exits the
+    process with code 17 unless the returned cancel function is called
+    first."""
+    import os
+    import threading
+
+    cancelled = threading.Event()
+
+    def _abort():
+        if not cancelled.wait(seconds):
+            print("bench: backend initialization timed out "
+                  f"({seconds}s) — TPU tunnel down?", file=sys.stderr)
+            os._exit(17)
+
+    threading.Thread(target=_abort, daemon=True).start()
+    return cancelled.set
+
+
 def main():
+    cancel_watchdog = _backend_watchdog()
+    import jax
+
+    jax.devices()  # force backend init under the watchdog
+    cancel_watchdog()
     if "--single" in sys.argv:
         _bench_single()
         return
