@@ -237,7 +237,18 @@ def _backend_watchdog(seconds: int = 600):
 
 def main():
     cancel_watchdog = _backend_watchdog()
+    import os
+
     import jax
+
+    # Persistent compile cache: the train-step compile through the axon
+    # tunnel can take >10 min; pay it once per program across bench/trace
+    # runs (same pattern as __graft_entry__.py / tests/conftest.py).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     jax.devices()  # force backend init under the watchdog
     cancel_watchdog()

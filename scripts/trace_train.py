@@ -22,6 +22,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Share bench.py's persistent compile cache: the 80^3 PASSION train-step
+    # compile through the axon tunnel can exceed 20 min cold.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     from passion_tpu.engine.schedule import make_optimizer, set_learning_rate
     from passion_tpu.engine.train_loop import make_train_step
     from passion_tpu.models import get_model, init_params
