@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from passion_tpu.ops.attn_mask import cross_key_bias, fusion_attention_bias
@@ -84,12 +85,13 @@ def blockdiag_grouped_kernel(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     grouped-conv connectivity, with structural zeros elsewhere."""
     k1, k2, k3, cig, co = w.shape
     cog = co // groups
-    full = jnp.zeros((k1, k2, k3, cig * groups, co), w.dtype)
-    for g in range(groups):
-        full = full.at[..., g * cig:(g + 1) * cig,
-                       g * cog:(g + 1) * cog].set(
-            w[..., g * cog:(g + 1) * cog])
-    return full
+    # linear in w -> one einsum against a constant eye instead of G
+    # dynamic-update-slices per traced conv (kernel builders showed up as
+    # DUS + kernel-copy time in the train-step trace)
+    w6 = w.reshape(k1, k2, k3, cig, groups, cog)
+    eye_g = jnp.asarray(np.eye(groups, dtype=np.float32), w.dtype)
+    full = jnp.einsum("xyzigo,gh->xyzgiho", w6, eye_g)
+    return full.reshape(k1, k2, k3, cig * groups, co)
 
 
 class Conv3d(nn.Module):

@@ -72,15 +72,25 @@ def upsample_trilinear(x: jnp.ndarray, scale: int, align_corners: bool = True) -
     return resize_trilinear(x, (h * scale, w * scale, z * scale), align_corners)
 
 
+# Implementation switch for upsample2_trilinear_s2d, resolved by real-chip
+# measurement (scripts/profile-driven): 'conv' materializes the 2x volume
+# conventionally and enters S2D via the stride-2 identity conv (canonical
+# layouts end-to-end); 'einsum' emits phase-minor channels directly but its
+# per-axis (k, p) merge reshapes forced XLA into transposed-layout copies
+# (~3-5 ms each across the 5-pass decoder, r3 train trace).
+UPSAMPLE_S2D_IMPL = "conv"
+
+
 def upsample2_trilinear_s2d(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
-    """x2 trilinear upsample emitted directly in space-to-depth layout.
+    """x2 trilinear upsample emitted in space-to-depth layout.
 
     (B, H, W, Z, C) -> (B, H, W, Z, C*8) == space_to_depth(upsample_trilinear
-    (x, 2)) exactly (phase-minor channel layout, ops/s2d.py), without ever
-    materializing the 2x volume in conventional (tile-padded) layout. Each
-    output phase is one row-parity slice of the align-corners interpolation
-    matrix.
+    (x, 2)) exactly (phase-minor channel layout, ops/s2d.py).
     """
+    if UPSAMPLE_S2D_IMPL == "conv":
+        from passion_tpu.ops import s2d
+
+        return s2d.space_to_depth(upsample_trilinear(x, 2, align_corners))
     b, h, w, z, c = x.shape
     dtype = x.dtype
     out = x.astype(jnp.float32)

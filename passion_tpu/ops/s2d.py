@@ -40,6 +40,7 @@ from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from passion_tpu.ops.fused_norm import instance_norm_lrelu
 
@@ -83,21 +84,99 @@ _TAPS_K3S2 = (
 )
 
 
-def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, Z, C) -> (B, H/2, W/2, Z/2, C*8), phase-minor channels."""
+def _tap_tensor_s1() -> _np.ndarray:
+    """Constant A[k, q, p, d] in {0,1}: the k=3 stride-1 per-axis tap map.
+
+    The kernel builders below are LINEAR in the canonical weights, so they
+    are einsums against these constant one-hot tensors — a handful of MXU/
+    VPU contractions instead of hundreds of `.at[].set()` dynamic-update-
+    slices per traced conv (profiled at ~20 ms/step of DUS + kernel-copy
+    time in the r3 train-step trace)."""
+    a = _np.zeros((3, 2, 2, 3), _np.float32)
+    for p, q, k, d in _TAPS_K3S1:
+        a[k, q, p, d] = 1.0
+    return a
+
+
+def _tap_tensor_s2() -> _np.ndarray:
+    """Constant B[k2, q, d] for the k=3 stride-2 -> k=2 block map."""
+    b = _np.zeros((2, 2, 3), _np.float32)
+    for q, k, d in _TAPS_K3S2:
+        b[k, q, d] = 1.0
+    return b
+
+
+_A_S1 = _tap_tensor_s1()
+_B_S2 = _tap_tensor_s2()
+_EYE2 = _np.eye(2, dtype=_np.float32)
+
+
+def space_to_depth_reshape(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, Z, C) -> (B, H/2, W/2, Z/2, C*8), phase-minor channels.
+
+    Reshape/transpose reference form (kept for tests); the default
+    `space_to_depth` routes through a stride-2 identity conv instead — the
+    transpose's 2x2x2-minor layout defeats the VPU and XLA materializes it
+    as a pathological full-tensor copy (profiled: the single largest
+    train-step cost class, ~100 ms/step across the 5-pass decoder)."""
     b, h, w, z, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, z // 2, 2, c)
     x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
     return x.reshape(b, h // 2, w // 2, z // 2, c * 8)
 
 
-def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of `space_to_depth`."""
+def depth_to_space_reshape(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `space_to_depth_reshape` (reference form, see above)."""
     b, hb, wb, zb, c8 = x.shape
     c = c8 // 8
     x = x.reshape(b, hb, wb, zb, c, 2, 2, 2)
     x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4)
     return x.reshape(b, hb * 2, wb * 2, zb * 2, c)
+
+
+def _s2d_identity_kernel(c: int) -> _np.ndarray:
+    """(2, 2, 2, C, C*8) one-hot conv kernel: output channel c*8 + phase
+    reads input channel c at kernel tap (px, py, pz) = phase bits."""
+    k = _np.zeros((2, 2, 2, c, c * 8), _np.float32)
+    for px in (0, 1):
+        for py in (0, 1):
+            for pz in (0, 1):
+                ph = px * 4 + py * 2 + pz
+                for ch in range(c):
+                    k[px, py, pz, ch, ch * 8 + ph] = 1.0
+    return k
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, Z, C) -> (B, H/2, W/2, Z/2, C*8), phase-minor channels.
+
+    Executed as a stride-2 conv with a constant one-hot kernel: the data
+    movement rides the TPU convolution path (canonical layouts in and out)
+    instead of a reshape/transpose chain whose 2x2x2-minor layout XLA
+    materializes as slow full-tensor copies. Exact (the contraction has
+    exactly one nonzero term per output). Forward AND backward are convs."""
+    c = x.shape[-1]
+    k = jnp.asarray(_s2d_identity_kernel(c), x.dtype)
+    # HIGHEST keeps fp32 inputs exact; for bf16 inputs the one-hot
+    # contraction is exact at any precision (single nonzero term).
+    return jax.lax.conv_general_dilated(
+        x, k, (2, 2, 2), "VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `space_to_depth`, as a stride-2 transposed conv with the
+    same constant one-hot kernel (see `space_to_depth` for why)."""
+    c = x.shape[-1] // 8
+    k = jnp.asarray(_s2d_identity_kernel(c), x.dtype)
+    # transpose_kernel=True: exactly the transpose of the forward s2d conv
+    # (same kernel, IO swapped + spatially mirrored), i.e. the true inverse.
+    return jax.lax.conv_transpose(
+        x, k, (2, 2, 2), "VALID",
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        transpose_kernel=True,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def s2d_conv3_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
@@ -109,19 +188,14 @@ def s2d_conv3_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     """
     _, _, _, ci, gco = w.shape
     co = gco // groups
-    wg = w.reshape(3, 3, 3, ci, groups, co).transpose(0, 1, 2, 4, 3, 5)
-    # P[g, i, q..., j, p...] shared tap pattern, then block-diag over g
-    pat = jnp.zeros((3, 3, 3, groups, ci, 2, 2, 2, co, 2, 2, 2), w.dtype)
-    for px, qx, kx, dx in _TAPS_K3S1:
-        for py, qy, ky, dy in _TAPS_K3S1:
-            for pz, qz, kz, dz in _TAPS_K3S1:
-                pat = pat.at[kx, ky, kz, :, :, qx, qy, qz, :, px, py, pz].set(
-                    wg[dx, dy, dz])
-    full = jnp.zeros(
-        (3, 3, 3, groups, ci, 2, 2, 2, groups, co, 2, 2, 2), w.dtype)
-    for g in range(groups):
-        full = full.at[:, :, :, g, :, :, :, :, g].set(
-            pat[:, :, :, g] if groups > 1 else pat[:, :, :, 0])
+    wg = w.reshape(3, 3, 3, ci, groups, co)
+    a = jnp.asarray(_A_S1, w.dtype)
+    eye_g = jnp.asarray(_np.eye(groups, dtype=_np.float32), w.dtype)
+    # out[a,b,c, g,i,qx,qy,qz, h,o,px,py,pz] =
+    #   sum_{d,e,f} A[a,qx,px,d] A[b,qy,py,e] A[c,qz,pz,f] w[d,e,f,i,g,o]
+    #   * delta(g,h)
+    full = jnp.einsum("aqpd,brse,ctuf,defigo,gh->abcgiqrthopsu",
+                      a, a, a, wg, eye_g)
     return full.reshape(3, 3, 3, groups * ci * 8, groups * co * 8)
 
 
@@ -134,16 +208,11 @@ def s2d_conv3_stride2_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     """
     _, _, _, ci, gco = w.shape
     co = gco // groups
-    wg = w.reshape(3, 3, 3, ci, groups, co).transpose(0, 1, 2, 4, 3, 5)
-    pat = jnp.zeros((2, 2, 2, groups, ci, 2, 2, 2, co), w.dtype)
-    for qx, kx, dx in _TAPS_K3S2:
-        for qy, ky, dy in _TAPS_K3S2:
-            for qz, kz, dz in _TAPS_K3S2:
-                pat = pat.at[kx, ky, kz, :, :, qx, qy, qz].set(wg[dx, dy, dz])
-    full = jnp.zeros((2, 2, 2, groups, ci, 2, 2, 2, groups, co), w.dtype)
-    for g in range(groups):
-        full = full.at[:, :, :, g, :, :, :, :, g].set(
-            pat[:, :, :, g] if groups > 1 else pat[:, :, :, 0])
+    wg = w.reshape(3, 3, 3, ci, groups, co)
+    b = jnp.asarray(_B_S2, w.dtype)
+    eye_g = jnp.asarray(_np.eye(groups, dtype=_np.float32), w.dtype)
+    full = jnp.einsum("aqd,bre,ctf,defigo,gh->abcgiqrtho",
+                      b, b, b, wg, eye_g)
     return full.reshape(2, 2, 2, groups * ci * 8, groups * co)
 
 
@@ -156,15 +225,11 @@ def s2d_conv1_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     """
     _, _, _, ci, gco = w.shape
     co = gco // groups
-    wg = w.reshape(ci, groups, co).transpose(1, 0, 2)  # (G, Ci, Co)
-    full = jnp.zeros((1, 1, 1, groups, ci, 2, 2, 2, groups, co, 2, 2, 2),
-                     w.dtype)
-    for g in range(groups):
-        for px in (0, 1):
-            for py in (0, 1):
-                for pz in (0, 1):
-                    full = full.at[0, 0, 0, g, :, px, py, pz,
-                                   g, :, px, py, pz].set(wg[g])
+    wg = w.reshape(ci, groups, co)
+    eye2 = jnp.asarray(_EYE2, w.dtype)
+    eye_g = jnp.asarray(_np.eye(groups, dtype=_np.float32), w.dtype)
+    full = jnp.einsum("igo,gh,qp,rs,tu->giqrthopsu",
+                      wg, eye_g, eye2, eye2, eye2)
     return full.reshape(1, 1, 1, groups * ci * 8, groups * co * 8)
 
 

@@ -41,6 +41,33 @@ def test_s2d_roundtrip(x):
                                   np.asarray(x))
 
 
+def test_s2d_conv_form_matches_reshape_form(x):
+    """The conv-executed s2d/d2s (MXU data movement) is bit-identical to the
+    reshape/transpose reference form, fwd and as mutual inverses."""
+    from passion_tpu.ops.s2d import depth_to_space_reshape, space_to_depth_reshape
+
+    s = space_to_depth(x)
+    np.testing.assert_array_equal(np.asarray(s),
+                                  np.asarray(space_to_depth_reshape(x)))
+    np.testing.assert_array_equal(np.asarray(depth_to_space(s)),
+                                  np.asarray(depth_to_space_reshape(s)))
+
+
+def test_s2d_conv_form_grads_exact(rng):
+    """d/dx of the conv-form s2d/d2s equals the (trivial) permutation
+    gradient of the reshape form — the training path differentiates
+    through these."""
+    import jax
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 2)), jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((1, 2, 2, 2, 16)), jnp.float32)
+    from passion_tpu.ops.s2d import space_to_depth_reshape
+
+    g_conv = jax.vjp(space_to_depth, x)[1](ct)[0]
+    g_ref = jax.vjp(space_to_depth_reshape, x)[1](ct)[0]
+    np.testing.assert_array_equal(np.asarray(g_conv), np.asarray(g_ref))
+
+
 @pytest.mark.parametrize("groups", [1, 4])
 def test_s2d_conv3_exact(rng, x, groups):
     ci = 4 // groups if groups == 4 else 4
