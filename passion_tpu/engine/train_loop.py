@@ -250,26 +250,6 @@ def update_imb_beta(imb_beta, eta, epoch_dist_m, epoch, warmup_epochs):
     return beta, eta, rp_epoch
 
 
-class ScalarWriter:
-    """Minimal per-epoch scalar logger (TensorBoard-equivalent channel,
-    train.py:342-354): JSONL rows {step, tag, value} under savepath/summary."""
-
-    def __init__(self, savepath):
-        import json
-        self._json = json
-        self.path = os.path.join(savepath, "summary", "scalars.jsonl")
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        self._f = open(self.path, "a")
-
-    def add_scalar(self, tag, value, global_step):
-        self._f.write(self._json.dumps(
-            {"step": int(global_step), "tag": tag, "value": float(value)}) + "\n")
-        self._f.flush()
-
-    def close(self):
-        self._f.close()
-
-
 def fit(model, train_loader, cfg, modal_num=None, writer=None,
         init_params_fn=None, mesh=None, val_loader=None):
     """The PASSION epoch loop (train.py:177-373).

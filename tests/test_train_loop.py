@@ -19,6 +19,26 @@ from passion_tpu.models.rfnet import RFNet
 PATCH = 16
 
 
+class ScalarWriter:
+    """JSONL scalar writer (duck-typed like TensorBoardWriter) — a test
+    oracle that keeps the fit() scalar-channel assertions cheap to parse."""
+
+    def __init__(self, savepath):
+        import json
+        self._json = json
+        self.path = os.path.join(savepath, "summary", "scalars.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def add_scalar(self, tag, value, global_step):
+        self._f.write(self._json.dumps(
+            {"step": int(global_step), "tag": tag, "value": float(value)}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
 @pytest.fixture(scope="module")
 def train_setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("synth_train")
@@ -83,7 +103,6 @@ def test_fit_use_valid_scores_and_model_best(train_setup, tmp_path):
     import json
 
     from passion_tpu.data.datasets import BratsVal
-    from passion_tpu.engine.train_loop import ScalarWriter
     from passion_tpu.masks import MASK_NAMES
 
     root, ds = train_setup
