@@ -54,10 +54,13 @@ REF_CASES_PER_SEC_SOL = 1.00   # roofline reference: 15% MFU, zero overhead
 REF_TRAIN_SAMPLES_PER_SEC = 0.4      # estimate: ~2.5 s/iter on 3090
 REF_TRAIN_SAMPLES_PER_SEC_SOL = 1.6  # canonical train FLOPs at 15% MFU
 
-# --- our executed-program FLOPs at the bench config (scripts/flops.py) ----
-SWEEP_ENCODE_FLOPS = 8.307e12        # all windows of one case, once per case
-SWEEP_FUSE_FLOPS_PER_MASK = 1.445e12  # per mask
-TRAIN_STEP_FLOPS = 4.115e12          # PASSION step, batch 1 (S2D-inflated)
+# --- our executed-program FLOPs at the bench config (scripts/flops.py,
+# regenerated r3 on the dense-group + conv-form-S2D programs: the dense
+# block-diagonal grouped convs and one-hot s2d convs execute structural-zero
+# FLOPs that ARE issued on the MXU and so count toward device utilization) -
+SWEEP_ENCODE_FLOPS = 9.0245e12       # all windows of one case, once per case
+SWEEP_FUSE_FLOPS_PER_MASK = 1.4807e12  # per mask
+TRAIN_STEP_FLOPS = 5.2914e12         # PASSION step, batch 1 (S2D-inflated)
 
 CHIP_PEAK_BF16 = {  # dense bf16 FLOP/s per chip
     "TPU v5 lite": 197e12,   # v5e
