@@ -70,24 +70,15 @@ def main():
     if not xplanes:
         print("no xplane files found")
         return
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # aggregate with the pure-python XPlane reader (the shipped
+    # tensorboard-plugin-profile converter's generated protos are
+    # binary-incompatible with this environment's protobuf)
+    import subprocess
 
-    data, _ = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    out = os.path.join(outdir, "hlo_stats.json")
-    with open(out, "w") as f:
-        f.write(data)
-    print("wrote", out, len(data))
-
-    # quick top-20 by self time
-    try:
-        rows = json.loads(data)
-        if isinstance(rows, dict):
-            rows = rows.get("data", rows)
-        print(type(rows))
-    except Exception as e:
-        print("parse:", e)
+    here = os.path.dirname(os.path.abspath(__file__))
+    subprocess.run([sys.executable, os.path.join(here, "xplane_stats.py"),
+                    xplanes[0], "60"], check=False)
+    print("full dump: python scripts/xplane_stats.py", xplanes[0], "100000")
 
 
 if __name__ == "__main__":
