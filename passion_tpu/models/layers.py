@@ -27,6 +27,34 @@ from passion_tpu.ops.norm import instance_norm
 
 NUM_MODALS = 4
 
+# Rematerialization of the training decoders (the 5-pass FusePath/
+# DecoderFuse + 4-pass DecoderSep dominate training-activation memory at
+# 80^3). Trace-time process global (same pattern as fused_norm._ENABLED):
+#   "full" — nn.remat, recompute the whole decoder forward in backward
+#            (lowest memory; the r1-r3 default),
+#   "conv" — remat with a policy that SAVES conv/matmul outputs and
+#            recomputes only the cheap elementwise/norm epilogues
+#            (~the forward conv time cheaper than "full" in backward),
+#   "none" — save all residuals (fastest when HBM fits).
+# Overridable via PASSION_DECODER_REMAT for benchmarking.
+import os as _os
+
+DECODER_REMAT = _os.environ.get("PASSION_DECODER_REMAT", "conv")
+
+
+def _conv_outputs_saveable(prim, *_, **__):
+    return getattr(prim, "name", "") in ("conv_general_dilated", "dot_general")
+
+
+def decoder_remat(cls, **remat_kw):
+    """Apply the configured decoder remat mode to a linen Module class."""
+    if DECODER_REMAT == "none":
+        return cls
+    if DECODER_REMAT == "conv":
+        return nn.remat(cls, policy=_conv_outputs_saveable, **remat_kw)
+    return nn.remat(cls, **remat_kw)
+
+
 # torch kaiming_normal_(fan_in, leaky_relu a=0) == variance_scaling(2, fan_in)
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 

@@ -28,6 +28,7 @@ from passion_tpu import losses
 from passion_tpu.ops.fused_norm import instance_norm_lrelu
 from passion_tpu.models.layers import (
     Conv3d,
+    decoder_remat,
     FusionPostNorm,
     GeneralConv3d,
     MaskedTransformer,
@@ -305,10 +306,10 @@ class M2FTrans(nn.Module):
         self.encoder = GroupedEncoder(self.basic_dims, self.use_s2d,
                                       name="encoders")
         # remat: see mmformer.MMFormer.setup
-        self.decoder_sep = nn.remat(DecoderSep)(
+        self.decoder_sep = decoder_remat(DecoderSep)(
             self.num_cls, self.basic_dims, name="decoder_sep")
         self.fuse_path = nn.vmap(
-            nn.remat(FusePath, static_argnums=(5,)),  # deterministic flag
+            decoder_remat(FusePath, static_argnums=(5,)),  # deterministic flag
             in_axes=(None, None, None, 0, None), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False, "dropout": True},

@@ -36,6 +36,7 @@ from passion_tpu import losses
 from passion_tpu.ops.fused_norm import instance_norm_lrelu
 from passion_tpu.models.layers import (
     Conv3d,
+    decoder_remat,
     FusionPreNorm,
     FusionPreNormRawParams,
     GeneralConv3dPreNorm,
@@ -328,10 +329,10 @@ class MMFormer(nn.Module):
         # 4 unimodal) and DecoderSep 4x at 80^3 — rematerializing their
         # activations in the backward pass is what fits the step in HBM
         # (SURVEY §7 hard-part 2).
-        self.decoder_sep = nn.remat(DecoderSep)(
+        self.decoder_sep = decoder_remat(DecoderSep)(
             self.num_cls, self.basic_dims, name="decoder_sep")
         self.fuse_path = nn.vmap(
-            nn.remat(FusePath, static_argnums=(5,)),  # deterministic flag
+            decoder_remat(FusePath, static_argnums=(5,)),  # deterministic flag
             in_axes=(None, None, None, 0, None), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False, "dropout": True},

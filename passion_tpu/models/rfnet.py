@@ -31,6 +31,7 @@ from flax import linen as nn
 from passion_tpu import losses
 from passion_tpu.models.layers import (
     Conv3d,
+    decoder_remat,
     GeneralConv3d,
     PRMGenerator,
     PRMGeneratorLastStage,
@@ -279,10 +280,10 @@ class RFNet(nn.Module):
                                       name="encoders")
         # remat: see mmformer.MMFormer.setup — the 5-pass fusion decoder and
         # 4x sep decoder dominate training-activation memory at 80^3.
-        self.decoder_sep = nn.remat(DecoderSep)(
+        self.decoder_sep = decoder_remat(DecoderSep)(
             self.num_cls, self.basic_dims, name="decoder_sep")
         self.decoder_fuse = nn.vmap(
-            nn.remat(DecoderFuse),
+            decoder_remat(DecoderFuse),
             in_axes=(None, None, None, None, 0), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False},

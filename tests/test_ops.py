@@ -65,6 +65,33 @@ def test_instance_norm_matches_torch(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_instance_norm_custom_vjp_matches_autodiff(rng):
+    """instance_norm's hand-written backward (ops/norm.py: no fp32
+    full-size residuals) equals autodiff of the plain fp32-stats form."""
+    x = rng.standard_normal((2, 6, 5, 4, 3)).astype(np.float32) * 3 + 1
+    g = rng.standard_normal(x.shape).astype(np.float32)
+
+    def plain(v):
+        axes = tuple(range(1, v.ndim - 1))
+        mean = jnp.mean(v, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(v - mean), axis=axes, keepdims=True)
+        return (v - mean) * jax.lax.rsqrt(var + 1e-5)
+
+    xj, gj = jnp.asarray(x), jnp.asarray(g)
+    want = jax.vjp(plain, xj)[1](gj)[0]
+    got = jax.vjp(instance_norm, xj)[1](gj)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    # vmapped use (the models vmap decoders over passes/modalities)
+    got_v = jax.vmap(lambda v: jax.vjp(instance_norm, v)[1](
+        jnp.ones_like(v))[0])(jnp.stack([xj, xj + 1]))
+    want_v = jax.vmap(lambda v: jax.vjp(plain, v)[1](
+        jnp.ones_like(v))[0])(jnp.stack([xj, xj + 1]))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_fusion_attention_bias_structure():
     p = 2  # tokens per block
     mask = jnp.asarray([[True, False, True, False],
