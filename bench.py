@@ -110,8 +110,10 @@ def _bench_sweep(model=None, params=None):
 
     if model is None:
         model, params = _setup_model()
-    engine = SlidingWindowSweep(model, num_cls=4, patch=PATCH,
-                                window_batch=16)
+    # window_batch=None -> auto: all 75 windows of the canonical case in ONE
+    # chunk — measured 2.83 mask-cases/s vs 2.02 (wb=25) / 1.94 (wb=16) on
+    # v5e (scripts/profile_sweep_wb.py)
+    engine = SlidingWindowSweep(model, num_cls=4, patch=PATCH)
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOLUME_SHAPE + (4,)).astype(np.float32)
     masks = [np.asarray(m) for m in MASK_ARRAY]
@@ -185,8 +187,7 @@ def _bench_single():
     from passion_tpu.engine.sliding_window import SlidingWindowInference
 
     model, params = _setup_model()
-    engine = SlidingWindowInference(model.apply, num_cls=4, patch=PATCH,
-                                    window_batch=16)
+    engine = SlidingWindowInference(model.apply, num_cls=4, patch=PATCH)
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOLUME_SHAPE + (4,)).astype(np.float32)
     mask = np.array([True, True, True, True])

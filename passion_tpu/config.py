@@ -52,7 +52,7 @@ class TrainConfig:
     basic_dims: int | None = None  # override backbone width (smoke runs)
     data_parallel: int = 0  # 0=single device, -1=all devices, N=first N
     num_cls: int = 4
-    window_batch: int = 16
+    window_batch: int = 0  # 0 = auto (per-case chunk sizing, measured best)
     num_workers: int = 8
     iters_per_epoch: int | None = None  # cap for smoke runs
     train_transforms: str = ""

@@ -34,6 +34,28 @@ import numpy as np
 
 from passion_tpu.ops import fused_norm, s2d
 
+# Auto window_batch cap: the largest per-dispatch window batch. 75 (all
+# windows of a canonical 240x240x155 BraTS case in ONE chunk) is measured
+# on a 16 GB v5e chip: sweep 2.83 mask-cases/s vs 2.02 at wb=25 and 1.94
+# at wb=16 (scripts/profile_sweep_wb.py) — zero pad waste and no scan
+# carry. 80 gives headroom for slightly larger volumes while bounding
+# activation memory near the measured point.
+_AUTO_WINDOW_BATCH_CAP = 80
+
+
+def _auto_window_batch(n: int, n_shards: int = 1,
+                       cap: int = _AUTO_WINDOW_BATCH_CAP) -> int:
+    """Window-batch size minimizing pad waste for `n` windows.
+
+    Picks the smallest chunk count that (a) keeps each chunk under `cap`
+    windows and (b) is a multiple of `n_shards` (mesh mode shards chunks
+    across devices), then sizes chunks evenly: pad waste is at most
+    nc - 1 windows. Single device, n=75 -> wb=75 (one chunk); 8-device
+    mesh -> nc=8, wb=10 (5 padded windows, 6.7%)."""
+    nc = max(1, -(-n // cap))
+    nc = -(-nc // n_shards) * n_shards
+    return -(-n // nc)
+
 
 def window_starts(extent: int, patch: int) -> list[int]:
     """50%-overlap start indices + tail window (predict.py:182-195)."""
@@ -151,18 +173,20 @@ class SlidingWindowInference:
         probs (wb, p, p, p, C). Typically `model.apply`.
       num_cls: output classes.
       patch: window edge (reference patch_size=80, predict.py:21).
-      window_batch: windows per device batch.
+      window_batch: windows per device batch; None (default) sizes chunks
+        per case via `_auto_window_batch` (one chunk for the canonical
+        75-window BraTS case — the measured-fastest configuration).
       spatial_bucket: pad volumes up to multiples of this per axis to bound
         the number of XLA compilations across differently-cropped cases.
     """
 
     def __init__(self, apply_fn, num_cls: int = 4, patch: int = 80,
-                 window_batch: int = 16, spatial_bucket: int = 16,
+                 window_batch: int | None = None, spatial_bucket: int = 16,
                  compute_dtype=jnp.bfloat16):
         self.apply_fn = apply_fn
         self.num_cls = num_cls
         self.patch = patch
-        self.window_batch = window_batch
+        self.window_batch = window_batch or None  # 0 (CLI) == None == auto
         self.spatial_bucket = spatial_bucket
         # bf16 is the serving dtype on TPU (MXU-native, halves HBM traffic);
         # accumulation of window probs stays fp32. Pass jnp.float32 for
@@ -219,7 +243,11 @@ class SlidingWindowInference:
         h, w, z, _ = x.shape
         coords, cosets = coset_layout((h, w, z), self.patch)
         n = coords.shape[0]
-        n_pad = _round_up(n, self.window_batch)
+        wb = self.window_batch
+        if wb is None:
+            mesh = getattr(self, "mesh", None)
+            wb = _auto_window_batch(n, mesh.size if mesh is not None else 1)
+        n_pad = _round_up(n, wb)
         coords_pad = np.zeros((n_pad, 3), np.int32)
         coords_pad[:n] = coords
 
@@ -229,10 +257,10 @@ class SlidingWindowInference:
         xpad = np.zeros((hp, wp, zp, x.shape[3]), np.float32)
         xpad[:h, :w, :z] = x
 
-        nc = n_pad // self.window_batch
+        nc = n_pad // wb
         return dict(
             xpad=jnp.asarray(xpad),
-            coords=jnp.asarray(coords_pad.reshape(nc, self.window_batch, 3)),
+            coords=jnp.asarray(coords_pad.reshape(nc, wb, 3)),
             cosets=cosets,
             n_windows=n,
             wgt=jnp.asarray(coverage_weight((h, w, z), (hp, wp, zp),
@@ -278,7 +306,7 @@ class SlidingWindowInference:
 
 
 def make_engine(model, num_cls: int = 4, patch: int = 80,
-                window_batch: int = 16, mesh=None, **kw):
+                window_batch: int | None = None, mesh=None, **kw):
     """Best sliding-window engine for `model`: the feature-reusing sweep
     engine when the backbone exposes the features/fuse_inference split,
     else the plain batched engine. `mesh` (a jax.sharding.Mesh with a
@@ -314,7 +342,7 @@ class SlidingWindowSweep(SlidingWindowInference):
     """
 
     def __init__(self, model, num_cls: int = 4, patch: int = 80,
-                 window_batch: int = 16, spatial_bucket: int = 16,
+                 window_batch: int | None = None, spatial_bucket: int = 16,
                  compute_dtype=jnp.bfloat16, mesh=None):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis — window
         chunks are sharded across devices (each device encodes/fuses its

@@ -7,6 +7,7 @@ import pytest
 
 from passion_tpu.engine.sliding_window import (
     SlidingWindowInference,
+    _auto_window_batch,
     window_coords,
     window_starts,
 )
@@ -49,6 +50,41 @@ def test_window_starts_match_reference_protocol():
     # reference BraTS case: 240 with patch 80 -> [0, 40, 80, 120, 160]
     assert window_starts(240, 80) == [0, 40, 80, 120, 160]
     assert window_starts(155, 80) == [0, 40, 75]
+
+
+def test_auto_window_batch():
+    # canonical BraTS case: 75 windows, single device -> ONE chunk
+    assert _auto_window_batch(75) == 75
+    # 8-device mesh: 8 chunks of 10 (pad 5 windows, vs 525 at wb=75)
+    assert _auto_window_batch(75, 8) == 10
+    # above the cap: chunks split evenly, waste <= nc-1
+    assert _auto_window_batch(200) == 67  # nc=3, pad 1
+    assert _auto_window_batch(81) == 41   # nc=2, pad 1
+    assert _auto_window_batch(1) == 1
+    for n in (1, 7, 75, 76, 200, 333):
+        for d in (1, 2, 8):
+            wb = _auto_window_batch(n, d)
+            assert 1 <= wb <= 80
+            assert -(-n // wb) * wb - n < wb  # pad less than one chunk
+
+
+def test_auto_window_batch_engine_matches_explicit(rng):
+    x = rng.standard_normal((24, 33, 16, 4)).astype(np.float32)
+    mask = np.array([True, False, True, True])
+    auto = SlidingWindowInference(dummy_apply, NUM_CLS, PATCH,
+                                  spatial_bucket=8,
+                                  compute_dtype=jnp.float32)
+    explicit = SlidingWindowInference(dummy_apply, NUM_CLS, PATCH,
+                                      window_batch=4, spatial_bucket=8,
+                                      compute_dtype=jnp.float32)
+    prepared = auto.prepare(x)
+    assert prepared["coords"].shape[0] == 1  # one chunk holds all windows
+    np.testing.assert_allclose(auto(None, x, mask), explicit(None, x, mask),
+                               rtol=1e-5, atol=1e-5)
+    # CLI zero means auto too
+    cli = SlidingWindowInference(dummy_apply, NUM_CLS, PATCH, window_batch=0,
+                                 spatial_bucket=8)
+    assert cli.window_batch is None
 
 
 @pytest.mark.parametrize("shape", [(24, 33, 16), (16, 16, 16), (31, 17, 40)])
