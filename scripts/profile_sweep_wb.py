@@ -7,7 +7,11 @@ The 50%-overlap window protocol yields 75 windows per 240x240x155 case
 exact bench.py sweep protocol (15-mask sweep_labels, mean + best of N) per
 wb so the default can be chosen from measurement (PROFILE.md open item).
 
-Usage: python scripts/profile_sweep_wb.py [wb1 wb2 ...]   (default: 16 15 25)
+Measured (v5e, mean/best of 5): wb=16 1.84/1.96, wb=15 1.97/1.98,
+wb=25 2.02/2.03, wb=50 1.91/1.91, wb=75 2.83/2.92 mask-cases/s — one
+chunk per case wins; the engine default is now auto (PROFILE.md).
+
+Usage: python scripts/profile_sweep_wb.py [wb1 wb2 ...]   (default: 16 25 75)
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ def main():
     from passion_tpu.masks import MASK_ARRAY
     from passion_tpu.models import get_model, init_params
 
-    wbs = [int(a) for a in sys.argv[1:]] or [16, 15, 25]
+    wbs = [int(a) for a in sys.argv[1:]] or [16, 25, 75]
     PATCH = 80
     model = get_model("mmformer", mask_type="idt", patch_size=PATCH)
     params = init_params(model, jax.random.PRNGKey(0), patch_size=PATCH)
