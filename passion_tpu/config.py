@@ -14,6 +14,84 @@ import os
 from dataclasses import dataclass, field
 
 
+def str2bool(v: str) -> bool:
+    """Boolean flag parser (utils/str2bool.py:1-8 — the reference ships it
+    unused; its drivers use store_true flags instead). Same accepted tokens,
+    same ValueError on anything else."""
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise ValueError("Unsupported value encountered.")
+
+
+class AttrDict(dict):
+    """Attribute-style nested config dict (utils/parser.py:18-61 — vestigial
+    in the reference: no .yaml configs ship with it). Reading a missing
+    attribute auto-creates a nested AttrDict, exactly like the original;
+    ``merge`` deep-merges another mapping."""
+
+    def __getattr__(self, name):
+        if name in self.__dict__:
+            return self.__dict__[name]
+        if name in self:
+            return self[name]
+        if name.startswith("__"):
+            raise AttributeError(name)
+        self[name] = AttrDict()
+        return self[name]
+
+    def __setattr__(self, name, value):
+        if name in self.__dict__:
+            self.__dict__[name] = value
+        else:
+            self[name] = value
+
+    def merge(self, other) -> None:
+        for k, v in other.items():
+            if k in self and isinstance(v, dict) and isinstance(self[k],
+                                                               dict):
+                AttrDict.merge(self[k], v)
+            else:
+                self[k] = AttrDict.cast(v) if isinstance(v, dict) else v
+
+    @staticmethod
+    def cast(d):
+        if not isinstance(d, dict):
+            return d
+        return AttrDict({k: AttrDict.cast(v) for k, v in d.items()})
+
+
+def parse_value(d):
+    """Recursive literal coercion (utils/parser.py:70-82): strings that
+    parse as python literals or fractions become values; dicts become
+    AttrDicts. Uses ast.literal_eval — never eval."""
+    from ast import literal_eval
+    from fractions import Fraction
+
+    if isinstance(d, dict):
+        return AttrDict({k: parse_value(v) for k, v in d.items()})
+    if isinstance(d, str):
+        try:
+            return literal_eval(d)
+        except (ValueError, SyntaxError):
+            try:
+                return float(Fraction(d))
+            except (ValueError, ZeroDivisionError):
+                return d
+    return d
+
+
+def load_yaml_config(fname: str) -> AttrDict:
+    """YAML config file -> AttrDict with literal coercion
+    (utils/parser.py:84-87), using yaml.safe_load instead of the
+    reference's unsafe yaml.load."""
+    import yaml
+
+    with open(fname) as f:
+        return parse_value(yaml.safe_load(f))
+
+
 def train_transforms_for(patch_size: int = 80) -> str:
     """The reference training pipeline (options.py:50) at a given crop."""
     s = patch_size

@@ -250,6 +250,30 @@ class NumpyType(Base):
         return img.astype(self.types[k])
 
 
+class ToNumpy(Base):
+    """Materialize the k-th item as a host numpy array
+    (reference transforms.py:332-341).
+
+    There it converts torch tensors back with ``.numpy()``; here anything
+    array-like (jax arrays included) goes through ``np.asarray``.  The
+    reference's torch-specific siblings are deliberately NOT ported:
+    ``ToTensor`` (transforms.py:344-355) and ``TensorType``
+    (transforms.py:358-370) produce/cast ``torch.Tensor``s, a type that does
+    not exist on this framework's host path — device placement is explicit
+    ``jnp.asarray``/sharding at the loader boundary, and dtype casting is
+    ``NumpyType``.  Justified skip per SURVEY §2.2 inventory.
+    """
+
+    def __init__(self, num=-1):
+        self.num = num
+
+    def apply(self, img, k, params):
+        del params
+        if self.num > 0 and k >= self.num:
+            return img
+        return np.asarray(img)
+
+
 class Normalize(Base):
     def __init__(self, mean=0.0, std=1.0, num=-1):
         self.mean, self.std, self.num = mean, std, num
@@ -315,7 +339,8 @@ _NAMESPACE = {
     "RandCrop3D": RandCrop3D, "RandCrop": RandCrop, "CenterCrop": CenterCrop,
     "RandomRotion": RandomRotion, "RandomFlip": RandomFlip,
     "RandomIntensityChange": RandomIntensityChange,
-    "NumpyType": NumpyType, "Normalize": Normalize, "Pad": Pad,
+    "NumpyType": NumpyType, "ToNumpy": ToNumpy, "Normalize": Normalize,
+    "Pad": Pad,
     "Noise": Noise, "GaussianBlur": GaussianBlur, "RandSelect": RandSelect,
     "Rot90": Rot90, "Flip": Flip,
     "Uniform": Uniform, "Gaussian": Gaussian, "Constant": Constant,

@@ -46,6 +46,13 @@ def lr_at_epoch(epoch: int, base_lr: float, num_epochs: int,
     return round(float(lr), 8)
 
 
+def get_temperature(epoch: int) -> int:
+    """Linear 30->1 temperature decay over the first 30 epochs
+    (utils/lr_scheduler.py:45-49 — dead code in the reference, whose drivers
+    pass the constant ``--temp`` instead; kept for surface parity)."""
+    return 31 - (epoch + 1) if epoch <= 29 else 1
+
+
 def make_optimizer(weight_decay: float = 1e-4, b1: float = 0.9,
                    b2: float = 0.999, eps: float = 1e-8):
     """AdamW with amsgrad (train.py:96), learning rate injected per epoch.

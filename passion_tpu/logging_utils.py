@@ -33,3 +33,29 @@ def set_seed(seed: int) -> None:
     jax.random key threading — no global device seed exists or is needed."""
     random.seed(seed)
     np.random.seed(seed)
+
+
+def record_loss(writer, masks, loss_list, loss_names, step, mask_table,
+                mask_names, p_types) -> None:
+    """Per-sample, per-mask-combination scalar logging
+    (utils/lr_scheduler.py:63-69 — dead code in the reference; its live loop
+    logs epoch aggregates instead, train.py:342-354).
+
+    For each sample ``i`` whose modality mask ``masks[i]`` equals row ``j``
+    of ``mask_table``, writes ``{p_types[i]}_{mask_names[j]}_{name}`` for
+    every (loss array, name) pair — loss arrays are indexed ``[k][i]``
+    exactly like the reference's ``loss_list[k][i].item()``.
+
+    ``writer`` needs only ``add_scalar(tag, value, global_step)`` — both our
+    TFRecord :class:`passion_tpu.engine.tb_writer.TensorBoardWriter` and
+    torch's SummaryWriter qualify.
+    """
+    masks = np.asarray(masks).astype(bool)
+    table = np.asarray(mask_table).astype(bool)
+    for i in range(masks.shape[0]):
+        for j in range(table.shape[0]):
+            if (masks[i] == table[j]).all():
+                for k, name in enumerate(loss_names):
+                    writer.add_scalar(
+                        f"{p_types[i]}_{mask_names[j]}_{name}",
+                        float(np.asarray(loss_list[k][i])), step)

@@ -8,6 +8,7 @@ same methodology as tests/test_losses.py.
 import collections
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -125,3 +126,152 @@ def test_random_sampler_state_roundtrip_replays_stream():
     b = samplers.RandomSampler(src, state=state, seed=999)
     assert list(b) == epoch2  # state, not seed, determines the stream
     assert sorted(epoch2) == src  # still a permutation
+
+
+# ----------------------------------------------- r4 dead-code shim closure
+
+
+def test_prototype_pmr_loss_matches_torch():
+    # independent torch oracle of criterions.py:183-206: class kept only if
+    # present in EVERY sample; softmax of negative L2 distance-to-prototype
+    # maps over the kept classes; clamped NLL of the true-class probability
+    rng = np.random.default_rng(11)
+    b, h, w, z, cf, ncls = 2, 5, 4, 3, 6, 4
+    feats = rng.standard_normal((b, h, w, z, cf)).astype(np.float32)
+    lab = rng.integers(0, ncls, size=(b, h, w, z))
+    lab[0][lab[0] == 3] = 1  # class 3 absent in sample 0 -> skipped
+    onehot = np.eye(ncls, dtype=np.float32)[lab]
+
+    fs = _t(feats).double()  # (B, C, H, W, Z)
+    tg = _t(onehot).double()
+    eps = 1e-5
+    ss, gts = [], []
+    for i in range(ncls):
+        ti = tg[:, i]
+        if (ti.sum(dim=(-3, -2, -1)) > 0).all():
+            proto = (fs * ti[:, None]).sum(dim=(-3, -2, -1)) / (
+                ti[:, None].sum(dim=(-3, -2, -1)) + eps)
+            pm = -torch.sqrt(
+                ((fs - proto[:, :, None, None, None]) ** 2).sum(dim=1))
+            ss.append(pm.unsqueeze(1))
+            gts.append(ti[:, None])
+    soft = torch.softmax(torch.cat(ss, 1), 1)
+    gtc = torch.cat(gts, 1)
+    pd = (soft * gtc).sum(1)
+    want_proto = (-(pd.clamp(0.005, 1).log())).mean().item()
+    want_kl = pd.mean().item()
+
+    got_proto, got_kl = LL.prototype_pmr_loss(feats, feats, onehot,
+                                              num_cls=ncls)
+    np.testing.assert_allclose(float(got_proto), want_proto, rtol=2e-4)
+    np.testing.assert_allclose(float(got_kl), want_kl, rtol=2e-4)
+
+
+def test_js_div_matches_torch_kldivloss_mean():
+    rng = np.random.default_rng(12)
+    p = rng.random((3, 4, 5)).astype(np.float32) + 0.1
+    q = rng.random((3, 4, 5)).astype(np.float32) + 0.1
+    kld = torch.nn.KLDivLoss()  # reduction='mean' over ALL elements
+    log_pq = ((torch.from_numpy(p) + torch.from_numpy(q)) / 2).log()
+    want = ((kld(log_pq, torch.from_numpy(p))
+             + kld(log_pq, torch.from_numpy(q))) / 2).item()
+    np.testing.assert_allclose(float(LL.js_div(p, q)), want, rtol=1e-5)
+
+
+def test_mutual_learning_loss_pairwise_masked():
+    # oracle: per-sample sum of JS over present-modality pairs across
+    # scales, / (2K(K-1)); K<=1 -> 0 (lr_scheduler.py:74-88 semantics with
+    # the per-sample mask applied per sample, see the port's docstring)
+    rng = np.random.default_rng(13)
+    b, m, c, s = 3, 4, 5, 2
+    feats = [rng.random((b, m, c, s, s)).astype(np.float32) + 0.1
+             for _ in range(2)]
+    mask = np.array([[1, 1, 1, 0], [1, 0, 0, 0], [0, 1, 0, 1]], bool)
+
+    def js(pn, qn):
+        pt, qt = torch.from_numpy(pn), torch.from_numpy(qn)
+        logm = ((pt + qt) / 2).log()
+        return (((pt * (pt.log() - logm)).mean()
+                 + (qt * (qt.log() - logm)).mean()) / 2).item()
+
+    want = np.zeros((b,))
+    for i in range(b):
+        k_cnt = int(mask[i].sum())
+        if k_cnt <= 1:
+            continue
+        acc = 0.0
+        for f in feats:
+            sm = torch.softmax(torch.from_numpy(f[i]), dim=1).numpy()
+            present = np.where(mask[i])[0]
+            for a in range(len(present)):
+                for bb in range(a + 1, len(present)):
+                    acc += js(sm[present[a]], sm[present[bb]])
+        want[i] = acc / (2 * k_cnt * (k_cnt - 1))
+
+    got = np.asarray(LL.mutual_learning_loss(feats, mask))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_get_temperature_schedule():
+    from passion_tpu.engine.schedule import get_temperature
+    assert [get_temperature(e) for e in (0, 1, 29, 30, 299)] == [30, 29, 1,
+                                                                 1, 1]
+
+
+def test_record_loss_tags_and_values():
+    from passion_tpu.logging_utils import record_loss
+
+    class FakeWriter:
+        def __init__(self):
+            self.rows = []
+
+        def add_scalar(self, tag, value, global_step):
+            self.rows.append((tag, value, global_step))
+
+    wr = FakeWriter()
+    table = np.array([[1, 0, 0, 0], [1, 1, 0, 0]], bool)
+    masks = np.array([[1, 1, 0, 0], [1, 0, 0, 0]], bool)
+    losses = [np.array([0.5, 0.25]), np.array([2.0, 4.0])]
+    record_loss(wr, masks, losses, ["dice", "ce"], step=7,
+                mask_table=table, mask_names=["t1", "t1ce"],
+                p_types=["idt", "idt"])
+    assert wr.rows == [("idt_t1ce_dice", 0.5, 7), ("idt_t1ce_ce", 2.0, 7),
+                       ("idt_t1_dice", 0.25, 7), ("idt_t1_ce", 4.0, 7)]
+
+
+def test_str2bool_and_attrdict_and_yaml(tmp_path):
+    from passion_tpu.config import (AttrDict, load_yaml_config, parse_value,
+                                    str2bool)
+    for s in ("yes", "True", "T", "y", "1"):
+        assert str2bool(s) is True
+    for s in ("no", "False", "f", "N", "0"):
+        assert str2bool(s) is False
+    with pytest.raises(ValueError):
+        str2bool("maybe")
+
+    d = AttrDict()
+    d.a.b = 3  # auto-vivify nested
+    assert d["a"]["b"] == 3 and d.a.b == 3
+    d.merge({"a": {"c": 4}, "e": 5})
+    assert d.a.b == 3 and d.a.c == 4 and d.e == 5
+
+    assert parse_value("(1, 2)") == (1, 2)
+    assert parse_value("3/4") == 0.75
+    assert parse_value("hello") == "hello"
+
+    f = tmp_path / "cfg.yaml"
+    f.write_text("model: mmformer\nopt:\n  lr: '2e-4'\n  betas: '(0.9, 0.999)'\n")
+    cfg = load_yaml_config(str(f))
+    assert cfg.model == "mmformer"
+    assert cfg.opt.lr == 2e-4
+    assert cfg.opt.betas == (0.9, 0.999)
+
+
+def test_tonumpy_transform():
+    import jax.numpy as jnp
+
+    from passion_tpu.data.transforms import ToNumpy, from_string
+    t = ToNumpy()
+    out = t.apply(jnp.ones((2, 2)), 0, None)
+    assert isinstance(out, np.ndarray)
+    assert from_string("Compose([ToNumpy(),])") is not None
