@@ -26,7 +26,11 @@ NaN-faithfulness note: for an IDT sample whose mask is a single modality the
 teacher and student passes coincide, so its prototype distance row is all
 zeros and the reference's `dist/dist_avg` is 0/0 = NaN, which makes
 `rp_mask = (rp_iter > 0)` all-False for the iteration (NaN > 0 is False in
-torch and JAX alike). We reproduce that behavior rather than "fixing" it.
+torch and JAX alike). We reproduce that behavior rather than "fixing" it —
+enforced by construction (models/layers.py zero_unimodal_self_dist: under
+value_and_grad XLA schedules the stop-gradient teacher lane differently, so
+the bitwise-equal-passes argument the reference relies on does not survive
+compilation; pinned end-to-end by tests/test_trajectory_parity.py step 6).
 
 Data parallelism: the step is pure jit over batch-sharded inputs; with a
 `jax.sharding.Mesh` over a 'data' axis the same compiled step scales from one
@@ -122,16 +126,24 @@ def make_train_step(model, tx, use_passion: bool, num_cls: int = 4,
             proto_m = jnp.sum(drop_padded(out["proto_loss"] * gate), axis=0)
             dist_m = jnp.sum(drop_padded(out["dist"] * gate), axis=0)
 
-            # task-wise preference (train.py:239-242 pdt / 265-268 idt)
+            # task-wise preference (train.py:239-242 pdt / 265-268 idt).
+            # NaN-faithfulness: a sample with an all-zero dist row (its
+            # student pass IS the teacher pass — zero_unimodal_self_dist)
+            # gives dist_avg = 0 and 0/0 = NaN, which in the reference
+            # poisons the WHOLE rp_iter row (torch's 0 * NaN = NaN) and
+            # makes rp_mask all-False for the iteration. XLA's simplifier
+            # folds 0 * NaN -> 0 in the masked multiply, so the poisoning
+            # is made explicit with a where instead of relying on IEEE
+            # propagation through the compiled graph.
             dist_bs = out["dist"].astype(jnp.float32)  # (B, 4)
             if idt:
                 dist_avg = jnp.sum(dist_bs, axis=1) / jnp.sum(mask_f, axis=1)
-                rp_iter = jnp.sum(drop_padded(
-                    mask_f * (dist_bs / dist_avg[:, None] - 1.0)), axis=0)
+                rp_rows = mask_f * (dist_bs / dist_avg[:, None] - 1.0)
             else:
                 dist_avg = jnp.mean(dist_bs, axis=1)
-                rp_iter = jnp.sum(
-                    drop_padded(dist_bs / dist_avg[:, None] - 1.0), axis=0)
+                rp_rows = dist_bs / dist_avg[:, None] - 1.0
+            rp_rows = jnp.where((dist_avg == 0.0)[:, None], jnp.nan, rp_rows)
+            rp_iter = jnp.sum(drop_padded(rp_rows), axis=0)
             rp_mask = (rp_iter > 0).astype(jnp.float32)
 
             w = modal_weight if idt else jnp.ones((NUM_MODALS,), jnp.float32)

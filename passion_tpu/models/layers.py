@@ -821,3 +821,23 @@ class FusionPostNorm(nn.Module):
         y = GeneralConv3d(c, k_size=1, padding=0)(y)
         y = GeneralConv3d(c, k_size=3, padding=1)(y)
         return GeneralConv3d(c, k_size=1, padding=0)(y)
+
+
+def zero_unimodal_self_dist(dist: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Zero dist[b, k] where sample b's mask IS the unimodal mask k.
+
+    For such samples the mod-k distillation pass and the real-mask (teacher)
+    pass are the same computation, so the reference's separately-executed
+    passes produce bit-equal features and an EXACTLY zero prototype distance
+    — which the driver then turns into 0/0 = NaN rp and an all-False
+    preference gate (reference train.py:265-268; NaN-faithfulness note in
+    engine/train_loop.py). Our 5 passes are vmap lanes of one program: in a
+    plain forward the lanes are bit-identical too, but under value_and_grad
+    XLA fuses the stop-gradient teacher path differently from the student
+    lanes, and the ~1e-8 rounding residue breaks the 0/0. Enforce the
+    invariant by construction instead of relying on compiler scheduling.
+    """
+    mask_f = mask.astype(jnp.float32)
+    unimodal = (jnp.sum(mask_f, axis=1, keepdims=True) == 1.0).astype(
+        jnp.float32)
+    return dist * (1.0 - mask_f * unimodal)

@@ -46,6 +46,7 @@ from passion_tpu.models.layers import (
     mask_channels,
     mask_modalities,
     split_modalities,
+    zero_unimodal_self_dist,
 )
 from passion_tpu.models.rfnet import _unimodal_mask_stack
 from passion_tpu.ops import s2d
@@ -492,6 +493,7 @@ class MMFormer(nn.Module):
         kl_loss = jnp.concatenate(kl_cols, axis=1) * modal_gate
         proto_loss = jnp.concatenate(proto_cols, axis=1) * modal_gate
         dist = jnp.concatenate(dist_cols, axis=1) * modal_gate
+        dist = zero_unimodal_self_dist(dist, mask)
 
         return dict(
             fuse_pred=jax.nn.softmax(fuse_logits[0], axis=-1),

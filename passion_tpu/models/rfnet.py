@@ -43,6 +43,7 @@ from passion_tpu.models.layers import (
     leaky_relu,
     mask_channels,
     split_modalities,
+    zero_unimodal_self_dist,
 )
 from passion_tpu.ops import s2d
 from passion_tpu.ops.norm import instance_norm
@@ -415,6 +416,7 @@ class RFNet(nn.Module):
         kl_loss = jnp.concatenate(kl_cols, axis=1) * modal_gate
         proto_loss = jnp.concatenate(proto_cols, axis=1) * modal_gate
         dist = jnp.concatenate(dist_cols, axis=1) * modal_gate
+        dist = zero_unimodal_self_dist(dist, mask)
 
         return dict(
             fuse_pred=jax.nn.softmax(fuse_logits[0], axis=-1),

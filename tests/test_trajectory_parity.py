@@ -1,0 +1,250 @@
+"""Optimizer-in-the-loop trajectory parity vs the PyTorch reference.
+
+The round-3 verdict's last un-composed correctness surface: single-forward
+loss parity (test_train_parity.py) plus unit-tested schedule/beta semantics
+do not prove the COMPOSITION — AdamW-amsgrad (reference train.py:96) + poly
+LR (utils/lr_scheduler.py:16-17) + warmup branch (train.py:274-280) + rp
+gating (train.py:265-268) + per-epoch beta update (train.py:325-335) —
+stays on the reference's trajectory over multiple optimizer steps.  A wrong
+amsgrad max-slot, weight-decay ordering, or epoch-accumulator denominator
+would pass every per-step test and silently diverge training.
+
+Here: identical transplanted RFNet init, identical fixed batch stream
+(idt masks, 16-cube crops, batch 2), 3 epochs x 2 iters with
+region_fusion_start_epoch=1 (so the stream crosses the warmup->main branch
+switch and two live beta updates).  The torch side composes the reference's
+OWN criterions + LR_Scheduler exactly as train.py:198-335 does; our side
+runs the production `make_train_step` (fp32 parity mode) + `lr_at_epoch` /
+`set_learning_rate` / `update_imb_beta` — the same machinery `fit` wires.
+Per-step losses and per-epoch beta must track within float32 tolerance.
+
+The last iteration includes a single-modality sample, pinning the
+NaN-faithful rp behavior (dist/dist_avg = 0/0 -> rp_mask all-False,
+train_loop.py module docstring) through the full composition.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_CODE = "/root/reference/code"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.isdir(REF_CODE),
+                       reason="reference code not available"),
+]
+
+# tiny-but-real config: RFNet (dims 8, fully conv, patch 16 keeps all 4
+# scales alive), canonical hyperparameters otherwise
+PATCH = 16
+BATCH = 2
+NUM_EPOCHS = 3
+ITERS = 2
+RFS_EPOCH = 1  # warmup epochs (region_fusion_start_epoch)
+LR = 2e-4
+WD = 1e-4
+TEMP = 4.0
+MODAL_NUM = np.array([5.0, 4.0, 3.0, 2.0])  # imb-MR present counts
+
+# per-step modality masks: >=2 modalities except the final single-modality
+# sample that exercises the NaN rp path
+STEP_MASKS = [
+    [[True, True, False, True], [False, True, True, False]],
+    [[True, True, True, True], [True, False, False, True]],
+    [[False, True, True, True], [True, True, False, False]],
+    [[True, False, True, True], [False, False, True, True]],
+    [[True, True, True, True], [False, True, True, True]],
+    [[True, True, False, True], [False, False, True, False]],
+]
+
+
+def _ref_path():
+    if REF_CODE not in sys.path:
+        sys.path.insert(0, REF_CODE)
+
+
+@pytest.fixture(autouse=True)
+def _cpu_cuda_shim(monkeypatch):
+    _ref_path()
+    import torch
+
+    if not torch.cuda.is_available():
+        monkeypatch.setattr(torch.Tensor, "cuda",
+                            lambda self, *a, **k: self)
+
+
+def _batches():
+    rng = np.random.default_rng(1037)
+    out = []
+    for masks in STEP_MASKS:
+        x = rng.standard_normal((BATCH, PATCH, PATCH, PATCH, 4)) \
+            .astype(np.float32)
+        lab = rng.integers(0, 4, size=(BATCH, PATCH, PATCH, PATCH))
+        lab[:, 0, 0, :4] = np.arange(4)  # all classes present per sample
+        out.append((x, np.eye(4, dtype=np.float32)[lab],
+                    np.asarray(masks, bool)))
+    return out
+
+
+def _torch_trajectory(sd_out):
+    """The reference loop, composed from the reference's own pieces:
+    model forward (rfnet.py:217-379) -> loss assembly (train.py:222-284,
+    idt branch) -> AdamW-amsgrad step (train.py:96) -> epoch accumulators
+    (train.py:298-307) -> poly LR (lr_scheduler.py:16-17) -> beta update
+    (train.py:325-335)."""
+    _ref_path()
+    import torch
+
+    from models import rfnet as ref_rfnet
+    from utils import criterions
+    from utils.lr_scheduler import LR_Scheduler
+
+    torch.manual_seed(1037)
+    model = ref_rfnet.Model(num_cls=4)
+    sd_out.update({k: v.detach().numpy().copy()
+                   for k, v in model.state_dict().items()})
+    model.eval()  # RFNet has no dropout; IN3d has no running stats
+    model.is_training = True
+    model.use_passion = True
+    model.mask_type = "idt"
+
+    lr_schedule = LR_Scheduler(LR, NUM_EPOCHS)
+    optimizer = torch.optim.AdamW(
+        [{"params": model.parameters(), "lr": LR, "weight_decay": WD}],
+        betas=(0.9, 0.999), eps=1e-08, amsgrad=True)
+
+    modal_num = torch.from_numpy(MODAL_NUM).float()
+    modal_weight = (ITERS / modal_num).float()
+    imb_beta = torch.ones(4)
+    eta, eta_ext = 0.01, 1.5
+
+    batches = _batches()
+    losses, betas = [], []
+    for epoch in range(NUM_EPOCHS):
+        lr_schedule(optimizer, epoch)
+        epoch_dist_m = torch.zeros(4)
+        for i in range(ITERS):
+            x, target, mask_np = batches[epoch * ITERS + i]
+            x_t = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+            tg_t = torch.from_numpy(np.transpose(target, (0, 4, 1, 2, 3)))
+            mask = torch.from_numpy(mask_np)
+
+            (fuse_pred, prm_loss_bs, sep_loss_m_bs, kl_loss_m_bs,
+             proto_loss_m_bs, dist_m_bs) = model(
+                x_t, mask, target=tg_t, temp=TEMP)
+
+            fuse_loss_bs = (
+                criterions.softmax_weighted_loss_bs(fuse_pred, tg_t, num_cls=4)
+                + criterions.dice_loss_bs(fuse_pred, tg_t, num_cls=4))
+            fuse_loss = torch.sum(fuse_loss_bs)
+            prm_loss = torch.sum(prm_loss_bs)
+
+            sep_loss_m = torch.sum(sep_loss_m_bs * mask, dim=0)
+            kl_loss_m = torch.sum(kl_loss_m_bs * mask, dim=0)
+            proto_loss_m = torch.sum(proto_loss_m_bs * mask, dim=0)
+            dist_m = torch.sum(dist_m_bs * mask, dim=0)
+
+            rp_iter = torch.zeros(4)
+            for bs in range(x.shape[0]):
+                dist_avg_bs = sum(dist_m_bs[bs]) / sum(mask[bs])
+                rp_iter = rp_iter + mask[bs] * (dist_m_bs[bs] / dist_avg_bs - 1)
+            rp_mask = rp_iter > 0
+
+            kl_loss = (imb_beta * modal_weight * kl_loss_m).sum()
+            proto_loss = (rp_mask * modal_weight * proto_loss_m).sum()
+            if epoch < RFS_EPOCH:
+                sep_loss = (imb_beta * modal_weight * sep_loss_m).sum()
+                loss = (fuse_loss * 0.0 + sep_loss + prm_loss * 0.0
+                        + kl_loss * 0.0 + proto_loss * 0.0)
+            else:
+                sep_loss = (rp_mask * imb_beta * modal_weight
+                            * sep_loss_m).sum()
+                loss = (fuse_loss + sep_loss + prm_loss + kl_loss * 0.5
+                        + proto_loss * 0.1)
+
+            optimizer.zero_grad()
+            loss.backward()
+            optimizer.step()
+
+            epoch_dist_m += (dist_m / modal_num).detach()
+            losses.append([float(loss), float(fuse_loss), float(sep_loss),
+                           float(prm_loss), float(kl_loss),
+                           float(proto_loss)])
+
+        epoch_dist_avg = sum(epoch_dist_m) / 4.0
+        rp_epoch = (epoch_dist_avg - epoch_dist_m) / epoch_dist_avg
+        if epoch >= RFS_EPOCH:
+            if epoch % 100 == 0:
+                eta = eta * eta_ext
+            imb_beta = torch.clamp(imb_beta - eta * rp_epoch, min=0.1,
+                                   max=4.0)
+            imb_beta = 2 * imb_beta / (sum(imb_beta ** 2) ** 0.5)
+        betas.append(imb_beta.numpy().copy())
+    return np.asarray(losses), np.asarray(betas)
+
+
+def _jax_trajectory(sd):
+    import jax
+    import jax.numpy as jnp
+
+    from passion_tpu.engine.schedule import (lr_at_epoch, make_optimizer,
+                                             set_learning_rate)
+    from passion_tpu.engine.train_loop import (make_train_step,
+                                               update_imb_beta)
+    from passion_tpu.interop import rfnet_params_from_torch
+    from passion_tpu.models.rfnet import RFNet
+
+    model = RFNet(num_cls=4, mask_type="idt")
+    params = rfnet_params_from_torch(sd)
+    tx = make_optimizer(WD)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, use_passion=True, with_dropout=False,
+                           compute_dtype=None)  # fp32 parity mode
+
+    modal_weight = (ITERS / MODAL_NUM).astype(np.float32)
+    imb_beta = np.ones((4,), np.float32)
+    eta = 0.01
+    batches = _batches()
+    losses, betas = [], []
+    key = jax.random.PRNGKey(0)  # unused (no dropout) but required
+    for epoch in range(NUM_EPOCHS):
+        opt_state = set_learning_rate(
+            opt_state, lr_at_epoch(epoch, LR, NUM_EPOCHS))
+        warmup = epoch < RFS_EPOCH
+        acc_dist_m = np.zeros(4)
+        for i in range(ITERS):
+            x, target, mask = batches[epoch * ITERS + i]
+            batch = {"x": jnp.asarray(x), "target": jnp.asarray(target),
+                     "mask": jnp.asarray(mask)}
+            params, opt_state, m = step(
+                params, opt_state, batch, jnp.asarray(imb_beta),
+                jnp.asarray(modal_weight), jnp.asarray(TEMP, jnp.float32),
+                key, warmup)
+            m = jax.tree_util.tree_map(np.asarray, m)
+            acc_dist_m += m["dist_m"] / MODAL_NUM
+            losses.append([float(m[k]) for k in
+                           ("loss", "fuse_loss", "sep_loss", "prm_loss",
+                            "kl_loss", "proto_loss")])
+        imb_beta, eta, _ = update_imb_beta(imb_beta, eta, acc_dist_m, epoch,
+                                           RFS_EPOCH)
+        betas.append(np.asarray(imb_beta).copy())
+    return np.asarray(losses), np.asarray(betas)
+
+
+def test_trajectory_parity_rfnet_idt():
+    sd = {}
+    ref_losses, ref_betas = _torch_trajectory(sd)
+    our_losses, our_betas = _jax_trajectory(sd)
+
+    # losses: (6 steps, 6 components). Components can be exactly 0 (warmup
+    # zeroes fuse/prm/kl/proto contributions only in the total; rp gates can
+    # zero sep/proto) -> compare with a mixed tolerance.
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-2, atol=2e-2,
+                               err_msg="per-step loss trajectory")
+    # beta: O(1) values updated from epoch dist means
+    np.testing.assert_allclose(our_betas, ref_betas, rtol=2e-3, atol=2e-3,
+                               err_msg="per-epoch imb_beta trajectory")
+    # the trajectory must actually move: betas leave (1,1,1,1) after warmup
+    assert not np.allclose(ref_betas[-1], 1.0)
