@@ -1,17 +1,29 @@
 """End-to-end output-fidelity parity: the reference's OWN sliding-window
-evaluator vs ours, CSV row for CSV row (VERDICT r2 item 8).
+evaluator vs ours, CSV row for CSV row (VERDICT r2 item 8; extended to all
+three backbones in r4 per VERDICT r3 item 3).
 
 The reference's `utils/predict.py:test_dice_hd95_softmax` (reference
 predict.py:144-252) is executed directly as the oracle — on CPU, at a
 reduced `patch_size` (a module global, predict.py:21), with `.cuda()`
-no-op'd — against a briefly-TRAINED torch RFNet. The same weights are
-transplanted into our flax RFNet and the same volume goes through our
+no-op'd — against a briefly-TRAINED torch model. The same weights are
+transplanted into our flax model and the same volume goes through our
 `passion_tpu.engine.evaluator.test_dice_hd95_softmax` +
 `SlidingWindowInference` (fp32 parity mode). The per-case CSV rows (Dice
 WT/TC/ET/ETpp + HD95 x4) must agree to ~1e-3 for several modality masks —
 pinning the full pipeline: window protocol (50%-overlap + tail flush),
 coverage-weighted softmax averaging, argmax, composite-region Dice, the
 500-voxel ET postprocessing rule, HD95 conventions, and the CSV schema.
+
+Backbone scaling note: mmFormer and M2FTrans hard-code their 5-cube token
+grid through module globals (`patch_size = 5`, `H = W = Z = 80`, reference
+mmformer.py:21-22 / m2ftrans.py:21-23) — for the CPU-sized oracle these are
+patched to the 32-cube (2^3-token grid; the deepest /16 scale must keep >1
+voxel per axis for torch's InstanceNorm3d) around construction AND the
+oracle forwards, then restored (the globals are read at call time too).
+Full-size
+(80-cube, 125-token) transformer parity is covered by the transplant tests
+(test_torch_parity.py / test_train_parity.py); THIS test certifies the
+composed window/argmax/Dice/CSV chain per backbone.
 
 Deviations handled:
   * `medpy`/`nibabel` are not installed here; the reference module gets a
@@ -37,9 +49,15 @@ pytestmark = [
                        reason="reference code not available"),
 ]
 
-PATCH = 16
-# odd, >patch extents exercise overlap + tail-flush windows on every axis
-VOL_SHAPE = (36, 40, 28)
+# Per-backbone reduced scale. RFNet is fully conv -> 16-cube windows; the
+# transformer backbones must keep their deepest (/16) scale >= 2 voxels per
+# axis (torch's InstanceNorm3d without running stats rejects single-spatial-
+# element inputs in ANY mode) -> 32-cube windows, 2^3 token grid.
+# Non-multiple, >patch extents exercise overlap + tail-flush windows on
+# every axis.
+PATCHES = {"rfnet": 16, "mmformer": 32, "m2ftrans": 32}
+VOL_SHAPES = {"rfnet": (36, 40, 28), "mmformer": (40, 44, 36),
+              "m2ftrans": (40, 44, 36)}
 MASKS = [
     [True, True, True, True],
     [False, True, False, True],
@@ -70,7 +88,7 @@ def _hd95_binary(pred, target, voxelspacing=None, connectivity=1):
 
 
 @pytest.fixture(scope="module")
-def ref_predict(monkeypatch_module=None):
+def ref_predict():
     """Import the reference's predict module with CPU + dependency shims."""
     import torch
 
@@ -89,20 +107,42 @@ def ref_predict(monkeypatch_module=None):
     # CPU shims: the reference hard-codes .cuda() on tensors and modules
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
-    ref_predict_mod.patch_size = PATCH
-    return ref_predict_mod
+    return ref_predict_mod  # patch_size set per test
 
 
-def _make_wrapped_torch_model():
-    """Random-init reference RFNet, briefly trained on the synthetic case so
-    predictions are structured (argmax not dominated by near-ties), wrapped
-    with a .module attribute like nn.DataParallel (predict.py:211)."""
+def _patched_ref_module(name, patch):
+    """(module, restore_fn): the reference model module with its token-grid
+    globals sized for a `patch`-cube input. Restore AFTER the oracle
+    forwards — the globals are read at forward time too
+    (mmformer.py:427-444, m2ftrans.py:437-443,549-551)."""
+    if name == "rfnet":
+        from models import rfnet as mod
+        return mod, lambda: None
+    if name == "mmformer":
+        import models.mmformer as mod
+        saved = mod.patch_size
+        mod.patch_size = patch // 16
+
+        def restore():
+            mod.patch_size = saved
+        return mod, restore
+    import models.m2ftrans as mod
+    saved = (mod.patch_size, mod.H, mod.W, mod.Z)
+    mod.patch_size = patch // 16
+    mod.H = mod.W = mod.Z = patch
+
+    def restore():
+        mod.patch_size, mod.H, mod.W, mod.Z = saved
+    return mod, restore
+
+
+def _make_wrapped_torch_model(mod):
+    """Random-init reference model, wrapped with a .module attribute like
+    nn.DataParallel (predict.py:211)."""
     import torch
 
-    from models import rfnet as torch_rfnet_mod
-
     torch.manual_seed(1037)
-    model = torch_rfnet_mod.Model(num_cls=4)
+    model = mod.Model(num_cls=4)
 
     class Wrap(torch.nn.Module):
         def __init__(self, m):
@@ -115,7 +155,7 @@ def _make_wrapped_torch_model():
     return Wrap(model)
 
 
-def _train_briefly(wrapped, x, seg_onehot, steps=3):
+def _train_briefly(wrapped, x, seg_onehot, patch, steps=3):
     """A few AdamW steps on the reference model's own training losses
     (baseline branch: fuse + sep + prm, train.py:374-420 shape) so the
     transplanted weights are not pure noise. Trains on a PATCH^3 crop over
@@ -125,11 +165,19 @@ def _train_briefly(wrapped, x, seg_onehot, steps=3):
     import torch
 
     model = wrapped.module
-    model.train()
+    # eval() (not train()): at the 16-cube scale the deepest feature map is
+    # 1x1x1 and torch's F.instance_norm rejects single-spatial-element
+    # inputs in training mode; IN3d has no running stats so eval-mode
+    # training is the same computation, with dropout deterministically off.
+    model.eval()
     model.is_training = True
+    model.use_passion = False
+    model.mask_type = "idt"
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
-    x = x[:, 8:8 + PATCH, 10:10 + PATCH, 6:6 + PATCH]
-    seg_onehot = seg_onehot[:, 8:8 + PATCH, 10:10 + PATCH, 6:6 + PATCH]
+    starts = [min(s, dim - patch) for s, dim in zip((8, 10, 6), x.shape[1:4])]
+    sl = tuple(slice(s, s + patch) for s in starts)
+    x = x[(slice(None),) + sl]
+    seg_onehot = seg_onehot[(slice(None),) + sl]
     xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).float()
     tgt = torch.from_numpy(
         np.transpose(seg_onehot, (0, 4, 1, 2, 3))).float()
@@ -149,51 +197,70 @@ def _read_rows(path):
         return [[float(v) for v in row] for row in csv.reader(f) if row]
 
 
-@pytest.fixture(scope="module")
-def fidelity_setup(tmp_path_factory):
-    """One synthetic case, reference-evaluated and ours-evaluated."""
+def _make_case(shape):
+    """One synthetic case: volume + blobby 4-class segmentation with a
+    small ET region (class 3)."""
     rng = np.random.default_rng(1037)
-    x = rng.standard_normal((1,) + VOL_SHAPE + (4,)).astype(np.float32)
-    # blobby 4-class segmentation with a small ET region (class 3)
-    seg = np.zeros(VOL_SHAPE, np.int64)
+    x = rng.standard_normal((1,) + shape + (4,)).astype(np.float32)
+    seg = np.zeros(shape, np.int64)
     seg[8:22, 10:26, 6:18] = 1
     seg[12:19, 14:22, 8:14] = 2
     seg[14:17, 16:19, 9:12] = 3
-    seg_onehot = np.eye(4, dtype=np.float32)[seg][None]
     return x, seg
 
 
-def test_csv_rows_match_reference(ref_predict, fidelity_setup, tmp_path):
+def _our_model_and_params(name, sd, patch):
+    from passion_tpu.interop import (m2ftrans_params_from_torch,
+                                     mmformer_params_from_torch,
+                                     rfnet_params_from_torch)
+    from passion_tpu.models.m2ftrans import M2FTrans
+    from passion_tpu.models.mmformer import MMFormer
+    from passion_tpu.models.rfnet import RFNet
+
+    if name == "rfnet":
+        return RFNet(num_cls=4, mask_type="idt"), rfnet_params_from_torch(sd)
+    if name == "mmformer":
+        return (MMFormer(num_cls=4, mask_type="idt", patch_size=patch),
+                mmformer_params_from_torch(sd))
+    return (M2FTrans(num_cls=4, mask_type="idt", patch_size=patch),
+            m2ftrans_params_from_torch(sd))
+
+
+@pytest.mark.parametrize("backbone", ["rfnet", "mmformer", "m2ftrans"])
+def test_csv_rows_match_reference(ref_predict, tmp_path, backbone):
     import jax.numpy as jnp
     import torch
 
     from passion_tpu.engine.evaluator import test_dice_hd95_softmax
     from passion_tpu.engine.sliding_window import SlidingWindowInference
-    from passion_tpu.interop import rfnet_params_from_torch
-    from passion_tpu.models.rfnet import RFNet
 
-    x, seg = fidelity_setup
+    patch = PATCHES[backbone]
+    ref_predict.patch_size = patch
+    x, seg = _make_case(VOL_SHAPES[backbone])
     seg_onehot = np.eye(4, dtype=np.float32)[seg][None]
 
-    wrapped = _make_wrapped_torch_model()
-    _train_briefly(wrapped, x, seg_onehot)
+    mod, restore = _patched_ref_module(backbone, patch)
+    try:
+        wrapped = _make_wrapped_torch_model(mod)
+        _train_briefly(wrapped, x, seg_onehot, patch)
 
-    # --- reference evaluator (their code, their CSV) ---
-    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).float()
-    tt = torch.from_numpy(seg[None]).long()
-    ref_csv = str(tmp_path / "ref.csv")
-    for m in MASKS:
-        loader = [(xt, tt, ["case0"])]
-        ref_predict.test_dice_hd95_softmax(
-            loader, wrapped, dataname="BraTS/BRATS2020", feature_mask=m,
-            mask_name="m", csv_name=ref_csv)
+        # --- reference evaluator (their code, their CSV) ---
+        xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3))).float()
+        tt = torch.from_numpy(seg[None]).long()
+        ref_csv = str(tmp_path / "ref.csv")
+        for m in MASKS:
+            loader = [(xt, tt, ["case0"])]
+            ref_predict.test_dice_hd95_softmax(
+                loader, wrapped, dataname="BraTS/BRATS2020", feature_mask=m,
+                mask_name="m", csv_name=ref_csv)
+    finally:
+        restore()
 
     # --- our evaluator on transplanted weights (fp32 parity mode) ---
     sd = {k: v.detach().numpy()
           for k, v in wrapped.module.state_dict().items()}
-    params = rfnet_params_from_torch(sd)
-    ours = RFNet(num_cls=4, mask_type="idt")
-    engine = SlidingWindowInference(ours.apply, num_cls=4, patch=PATCH,
+    ours, params = _our_model_and_params(backbone, sd, patch)
+    engine = SlidingWindowInference(ours.apply, num_cls=4, patch=patch,
                                     window_batch=4,
                                     compute_dtype=jnp.float32)
     our_csv = str(tmp_path / "ours.csv")
