@@ -69,15 +69,29 @@ class PrefetchLoader:
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item):
+            # bounded put that gives up when the consumer is gone, so an
+            # abandoned iterator never leaves a thread blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         def producer():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs in self._batches(epoch):
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(
-                        lambda i: self._load_item(epoch, i), idxs))
-                    q.put(_stack(items))
-            q.put(None)
+            end = None
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in self._batches(epoch):
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(
+                            lambda i: self._load_item(epoch, i), idxs))
+                        _put(_stack(items))
+            except BaseException as e:  # forward to the consumer: a worker
+                end = e                 # error must raise there, not hang it
+            _put(end)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -86,6 +100,8 @@ class PrefetchLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

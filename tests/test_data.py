@@ -3,6 +3,7 @@
 import ast
 import csv
 import os
+import time
 
 import numpy as np
 import pytest
@@ -169,3 +170,44 @@ def test_loader_batches_and_determinism(synth_root):
     batches3 = list(loader2)
     assert not all(b1["name"] == b3["name"]
                    for b1, b3 in zip(batches2, batches3))
+
+
+def test_loader_forwards_worker_exceptions():
+    # a dataset.get error in a producer thread must RAISE in the consumer,
+    # not leave it blocked on the queue forever (r4 loader hardening)
+    class Exploding:
+        def __len__(self):
+            return 4
+
+        def get(self, index, rng):
+            if index == 2:
+                raise RuntimeError("boom at 2")
+            return {"x": np.zeros((2, 2), np.float32), "name": f"c{index}"}
+
+    loader = PrefetchLoader(Exploding(), batch_size=1, shuffle=False,
+                            num_threads=2, prefetch=1)
+    with pytest.raises(RuntimeError, match="boom at 2"):
+        for _ in loader:
+            pass
+
+
+def test_loader_abandoned_iterator_releases_producer():
+    import threading
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def get(self, index, rng):
+            return {"x": np.zeros((4, 4), np.float32), "name": str(index)}
+
+    loader = PrefetchLoader(Slow(), batch_size=1, shuffle=False,
+                            num_threads=2, prefetch=1)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # the producer must unblock from its bounded put and exit
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
