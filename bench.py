@@ -55,12 +55,18 @@ REF_TRAIN_SAMPLES_PER_SEC = 0.4      # estimate: ~2.5 s/iter on 3090
 REF_TRAIN_SAMPLES_PER_SEC_SOL = 1.6  # canonical train FLOPs at 15% MFU
 
 # --- our executed-program FLOPs at the bench config (scripts/flops.py,
-# regenerated r3 on the dense-group + conv-form-S2D programs: the dense
+# regenerated r4 on the SCAN-FREE auto-wb=75 programs: the dense
 # block-diagonal grouped convs and one-hot s2d convs execute structural-zero
-# FLOPs that ARE issued on the MXU and so count toward device utilization) -
-SWEEP_ENCODE_FLOPS = 9.0245e12       # all windows of one case, once per case
-SWEEP_FUSE_FLOPS_PER_MASK = 1.4807e12  # per mask
-TRAIN_STEP_FLOPS = 5.2914e12         # PASSION step, batch 1 (S2D-inflated)
+# FLOPs that ARE issued on the MXU and so count toward device utilization).
+# r2/r3 sweep constants were ~4.7x LOW: they were measured on the wb=16
+# programs, where XLA cost analysis counts the 5-chunk lax.scan body ONCE
+# (42.302 * 16/75 = 9.024, the old encode constant, exactly). The r3 train
+# constant (5.291) predated the 'conv' decoder-remat policy, which
+# rematerializes fewer ops. Cross-round mfu_* fields are therefore NOT
+# comparable before r4; see PROFILE.md "Roofline accounting (r4)". ---------
+SWEEP_ENCODE_FLOPS = 42.3019e12      # all 75 windows of one case, per case
+SWEEP_FUSE_FLOPS_PER_MASK = 6.9385e12  # per mask
+TRAIN_STEP_FLOPS = 4.3571e12         # PASSION step, batch 1 (S2D-inflated)
 
 CHIP_PEAK_BF16 = {  # dense bf16 FLOP/s per chip
     "TPU v5 lite": 197e12,   # v5e

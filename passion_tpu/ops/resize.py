@@ -47,19 +47,29 @@ def _linear_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
 
 
 def resize_trilinear(x: jnp.ndarray, out_shape, align_corners: bool = True) -> jnp.ndarray:
-    """Resize (B, H, W, Z, C) volume to spatial `out_shape` = (H', W', Z')."""
+    """Resize (B, H, W, Z, C) volume to spatial `out_shape` = (H', W', Z').
+
+    The per-axis contractions run in the INPUT dtype: in the bf16 serving
+    path the scale-1 operands are ~1.2 GB per fuse pass and forcing f32
+    doubled their HBM traffic (r4 fuse trace: ~20 ms/pass in f32 upsample
+    fusions + the layout copy they fed). The MXU still accumulates in f32
+    (precision=HIGHEST); only the stored operands/results round to bf16 —
+    the same rounding every other activation in the bf16 path carries.
+    fp32 parity runs (compute_dtype=None) are bit-unchanged: f32 in, f32
+    compute.
+    """
     b, h, w, z, c = x.shape
     oh, ow, oz = out_shape
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = x
     if oh != h:
-        mh = jnp.asarray(_linear_matrix(h, oh, align_corners))
+        mh = jnp.asarray(_linear_matrix(h, oh, align_corners)).astype(dtype)
         xf = jnp.einsum("oh,bhwzc->bowzc", mh, xf, precision=_PRECISION)
     if ow != w:
-        mw = jnp.asarray(_linear_matrix(w, ow, align_corners))
+        mw = jnp.asarray(_linear_matrix(w, ow, align_corners)).astype(dtype)
         xf = jnp.einsum("ow,bhwzc->bhozc", mw, xf, precision=_PRECISION)
     if oz != z:
-        mz = jnp.asarray(_linear_matrix(z, oz, align_corners))
+        mz = jnp.asarray(_linear_matrix(z, oz, align_corners)).astype(dtype)
         xf = jnp.einsum("oz,bhwzc->bhwoc", mz, xf, precision=_PRECISION)
     return xf.astype(dtype)
 

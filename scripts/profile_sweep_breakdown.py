@@ -24,7 +24,8 @@ def main():
     from passion_tpu.models import get_model
 
     name = sys.argv[1] if len(sys.argv) > 1 else "mmformer"
-    wb = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # default: auto window_batch (None) — the shipped bench/eval config
+    wb = int(sys.argv[2]) if len(sys.argv) > 2 else None
     model = get_model(name, mask_type="idt", patch_size=80)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 80, 80, 80, 4), jnp.float32),
@@ -39,24 +40,35 @@ def main():
     labs = engine.sweep_labels(params, prepared, masks)
     assert len(labs) == 15
 
-    def sync(x):
-        jax.block_until_ready(x)
-        return x
+    # NOTE: on the axon tunnel platform jax.block_until_ready returns after
+    # dispatch (no-op sync) — every timed region must end in a small host
+    # fetch (the 2-bit packed labels, ~2.3 MB) to observe device completion.
+    fts = engine.encode_case(params, prepared)
+
+    def fuse_fetch(f, m):
+        return np.asarray(engine._fuse_labels_device(params, prepared, f, m))
 
     t0 = time.perf_counter()
-    fts = sync(engine.encode_case(params, prepared))
-    t_enc = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    lab = sync(engine._fuse_labels_device(params, prepared, fts, masks[14]))
+    fuse_fetch(fts, masks[14])
     t_fuse1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    f2 = engine.encode_case(params, prepared)
+    fuse_fetch(f2, masks[14])
+    t_enc = time.perf_counter() - t0 - t_fuse1
 
     t0 = time.perf_counter()
     pending = [engine._fuse_labels_device(params, prepared, fts, m)
                for m in masks]
     for x in pending:
-        jax.block_until_ready(x)
+        np.asarray(x)
     t_fuse15 = time.perf_counter() - t0
+
+    # host label cost: D2H fetch + 2-bit unpack + crop, one settled volume
+    done = sync(engine._fuse_labels_device(params, prepared, fts, masks[0]))
+    t0 = time.perf_counter()
+    _ = engine.fetch_labels(prepared, done)
+    t_fetch1 = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     labs = engine.sweep_labels(params, prepared, masks)
@@ -67,6 +79,7 @@ def main():
     print(f"encode_case          : {t_enc:7.3f}s")
     print(f"fuse 1 mask          : {t_fuse1:7.3f}s")
     print(f"fuse 15 masks (pipe) : {t_fuse15:7.3f}s  ({t_fuse15 / 15:.3f}s/mask)")
+    print(f"label fetch+unpack   : {t_fetch1:7.3f}s/mask (host, overlappable)")
     print(f"sweep_labels total   : {t_total:7.3f}s  -> {15 / t_total:.3f} mask-cases/s")
 
 

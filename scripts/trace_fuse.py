@@ -24,7 +24,7 @@ def main():
     from passion_tpu.models import get_model
 
     name = sys.argv[1] if len(sys.argv) > 1 else "mmformer"
-    wb = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    wb = int(sys.argv[2]) if len(sys.argv) > 2 else None  # None = auto (wb=75)
     outdir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/fuse_trace"
 
     model = get_model(name, mask_type="idt", patch_size=80)
