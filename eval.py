@@ -37,13 +37,13 @@ def main(argv=None):
     from passion_tpu.models import get_model, init_params
 
     logging.info(str(cfg))
+    if not cfg.resume:  # fail BEFORE the expensive model build/init
+        raise SystemExit("--resume checkpoint path is required")
     model = get_model(cfg.model, num_cls=cfg.num_cls,
                       mask_type=cfg.mask_type, patch_size=cfg.patch_size,
                       **cfg.model_kwargs)
     params = init_params(model, jax.random.PRNGKey(cfg.seed),
                          patch_size=cfg.patch_size)
-    if not cfg.resume:
-        raise SystemExit("--resume checkpoint path is required")
     params, epoch = ckpt.load_params(cfg.resume, params)
     logging.info("loaded %s (epoch %s)", cfg.resume, epoch)
 

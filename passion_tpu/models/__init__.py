@@ -31,6 +31,34 @@ def init_params(model, key, patch_size: int = 80, batch_size: int = 1):
                       method=type(model).train_losses)
 
 
+def init_params_host(model, seed: int = 0, patch_size: int = 80,
+                     batch_size: int = 1, scale: float = 0.02):
+    """Uncalibrated host-side parameter tree for tests/dryruns.
+
+    `model.init` jit-compiles ~a thousand tiny per-parameter initializer
+    programs (~40-100 s cold per backbone on a 1-core CPU box, and too
+    small for the persistent compile cache to amortize well). Shape/gating/
+    engine tests don't need calibrated initializers — this traces the init
+    with `jax.eval_shape` (no compilation, no execution) and fills the tree
+    with small host-numpy normals, exactly the scheme
+    `__graft_entry__._dryrun_one` uses. NOT for training runs: real
+    variance-scaled init matters there (use `init_params`).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    shapes = jax.eval_shape(
+        lambda k: init_params(model, k, patch_size=patch_size,
+                              batch_size=batch_size),
+        jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda s: (scale * rng.standard_normal(s.shape)).astype(s.dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating)
+        else np.zeros(s.shape, s.dtype), shapes)
+
+
 def get_model(name: str, num_cls: int = 4, mask_type: str = "idt",
               patch_size: int = 80, **kwargs):
     """Resolve the reference's `--model` flag. `patch_size` sizes the

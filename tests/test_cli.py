@@ -35,6 +35,7 @@ def _common_args(root, savepath):
             "--savepath", savepath, "--num_workers", "2", "--seed", "3"]
 
 
+@pytest.mark.slow
 def test_train_then_eval_cli_end_to_end(synth_root, tmp_path):
     out = str(tmp_path / "run")
     train_cli.main(_common_args(synth_root, out) + [

@@ -28,9 +28,8 @@ def eval_setup(tmp_path_factory):
                    root=str(root))
     loader = PrefetchLoader(ds, batch_size=1, shuffle=False, num_threads=1)
     model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, PATCH, PATCH, PATCH, 4)),
-                        jnp.ones((1, 4), bool))
+    from passion_tpu.models import init_params_host
+    params = init_params_host(model, seed=0, patch_size=PATCH)
     engine = SlidingWindowInference(model.apply, 4, PATCH, window_batch=4)
     return loader, engine, params, str(root)
 
@@ -68,6 +67,7 @@ def test_full_sweep_csv_schema(eval_setup, tmp_path):
     assert np.isfinite(avg_dice).all() and np.isfinite(avg_hd95).all()
 
 
+@pytest.mark.slow
 def test_sweep_engine_path_matches_plain_engine(eval_setup, tmp_path):
     """run_test_sweep through the feature-reusing SlidingWindowSweep must
     score identically to the plain per-mask engine."""

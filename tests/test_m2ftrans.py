@@ -18,8 +18,8 @@ def m2f_setup():
                     jnp.float32)
     mask = jnp.asarray([[False, False, True, False], [True, True, True, True]])
     target = jnp.zeros((B, S, S, S, 4), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, mask, target, 1.0, True,
-                        method=M2FTrans.train_losses)
+    from passion_tpu.models import init_params_host
+    params = init_params_host(model, seed=0, patch_size=S, batch_size=B)
     return model, params, x, mask
 
 
@@ -39,6 +39,7 @@ def test_absent_modalities_do_not_affect_prediction(m2f_setup):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_losses_shapes_gating_and_grads(m2f_setup):
     model, params, x, mask = m2f_setup
     lab = np.random.default_rng(1).integers(0, 4, size=(B, S, S, S))

@@ -99,6 +99,7 @@ def _run_fit(tmp_path, ds, name, mesh=None, model_name="rfnet",
     return jax.device_get(params), history
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_name", ["rfnet", "mmformer", "m2ftrans"])
 def test_mesh_fit_matches_single_device(mesh_train_setup, tmp_path,
                                         model_name):
@@ -166,6 +167,7 @@ def test_mesh_fit_matches_single_device(mesh_train_setup, tmp_path,
                                    atol=4.2e-3)
 
 
+@pytest.mark.slow
 def test_mesh_fit_ragged_batch_matches_single_device(mesh_train_setup,
                                                      tmp_path):
     """bs=3 on an 8-device mesh: ragged batches are padded with valid=0
@@ -187,6 +189,7 @@ def test_mesh_fit_ragged_batch_matches_single_device(mesh_train_setup,
             f"epoch1 {k}: {h8[1][k]} vs {h1[1][k]}")
 
 
+@pytest.mark.slow
 def test_fit_deterministic_same_seed(mesh_train_setup, tmp_path):
     """Two identical runs produce identical params (determinism control
     standing in for the reference's cudnn.deterministic pins,

@@ -18,8 +18,8 @@ def mmformer_setup():
                     jnp.float32)
     mask = jnp.asarray([[False, True, False, False], [True, True, True, True]])
     target = jnp.zeros((B, S, S, S, 4), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, mask, target, 1.0, True,
-                        method=MMFormer.train_losses)
+    from passion_tpu.models import init_params_host
+    params = init_params_host(model, seed=0, patch_size=S, batch_size=B)
     return model, params, x, mask
 
 
@@ -39,6 +39,7 @@ def test_absent_modalities_do_not_affect_prediction(mmformer_setup):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_losses_shapes_gating_and_grads(mmformer_setup):
     model, params, x, mask = mmformer_setup
     lab = np.random.default_rng(1).integers(0, 4, size=(B, S, S, S))
@@ -69,6 +70,7 @@ def test_train_losses_shapes_gating_and_grads(mmformer_setup):
                for g in jax.tree_util.tree_leaves(grads))
 
 
+@pytest.mark.slow
 def test_dropout_rng_path(mmformer_setup):
     """Non-deterministic forward (dropout active) runs and differs by rng."""
     model, params, x, mask = mmformer_setup

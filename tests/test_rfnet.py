@@ -17,8 +17,8 @@ def rfnet_setup():
                     jnp.float32)
     mask = jnp.asarray([[True, False, True, False], [True, True, True, True]])
     target = jnp.zeros((B, S, S, S, 4), jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, mask, target, 1.0, True,
-                        method=RFNet.train_losses)
+    from passion_tpu.models import init_params_host
+    params = init_params_host(model, seed=0, patch_size=S, batch_size=B)
     return model, params, x, mask
 
 
@@ -75,6 +75,7 @@ def test_train_fuse_pred_matches_infer(rfnet_setup):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradients_flow(rfnet_setup):
     model, params, x, mask = rfnet_setup
     lab = np.random.default_rng(1).integers(0, 4, size=(B, S, S, S))

@@ -45,11 +45,13 @@ def _run_pair(model_on, model_off, S, seed=0):
                                    err_msg=f"{cls.__name__}.{k}")
 
 
+@pytest.mark.slow
 def test_rfnet_train_losses_s2d_equivalence():
     kw = dict(num_cls=4, basic_dims=4, mask_type="idt")
     _run_pair(RFNet(use_s2d=True, **kw), RFNet(use_s2d=False, **kw), S=16)
 
 
+@pytest.mark.slow
 def test_mmformer_train_losses_s2d_equivalence():
     kw = dict(num_cls=4, basic_dims=2, mask_type="idt", patch_size=32,
               trans_dim=16, mlp_dim=32, heads=4, depth=1)
@@ -57,6 +59,7 @@ def test_mmformer_train_losses_s2d_equivalence():
               S=32)
 
 
+@pytest.mark.slow
 def test_m2ftrans_train_losses_s2d_equivalence():
     kw = dict(num_cls=4, basic_dims=2, mask_type="idt", patch_size=32,
               heads=4, mlp_dim=32, depth=2)

@@ -133,9 +133,8 @@ def test_engine_with_rfnet(rng):
     model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
     x = rng.standard_normal((24, 16, 16, 4)).astype(np.float32)
     mask = np.array([True, True, False, False])
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, PATCH, PATCH, PATCH, 4)),
-                        jnp.ones((1, 4), bool))
+    from passion_tpu.models import init_params_host
+    params = init_params_host(model, seed=0, patch_size=PATCH)
     engine = SlidingWindowInference(model.apply, 4, PATCH, window_batch=2,
                                     compute_dtype=jnp.float32)
     probs = engine(params, x, mask)

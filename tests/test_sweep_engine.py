@@ -32,11 +32,16 @@ def _make(name, rng):
     model = get_model(name, mask_type="idt", patch_size=PATCH, **kw)
     x = jnp.asarray(rng.standard_normal((2, PATCH, PATCH, PATCH, 4)),
                     jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), x, jnp.ones((2, 4), bool))
+    from passion_tpu.models import init_params_host
+    params = init_params_host(model, seed=0, patch_size=PATCH, batch_size=2)
     return model, params, x
 
 
-@pytest.mark.parametrize("name", ["rfnet", "mmformer", "m2ftrans"])
+@pytest.mark.parametrize("name", [
+    "rfnet",
+    pytest.param("mmformer", marks=pytest.mark.slow),
+    pytest.param("m2ftrans", marks=pytest.mark.slow),
+])
 def test_features_fuse_matches_call(name, rng):
     model, params, x = _make(name, rng)
     fts = model.apply(params, x, method=type(model).features)
@@ -49,6 +54,7 @@ def test_features_fuse_matches_call(name, rng):
                                    err_msg=f"{name} mask={mask}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["rfnet", "mmformer", "m2ftrans"])
 def test_mesh_sweep_matches_single_device(name, rng):
     """Window chunks sharded over an 8-device CPU mesh produce the same
@@ -76,6 +82,7 @@ def test_mesh_sweep_matches_single_device(name, rng):
         np.testing.assert_array_equal(lab_m, lab_p)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["rfnet"])
 def test_sweep_engine_matches_single_mask_engine(name, rng):
     model, params, _ = _make(name, rng)

@@ -123,8 +123,10 @@ def test_fit_emits_reference_tag_set(tmp_path, monkeypatch):
     }
     model = RFNet(num_cls=4, basic_dims=4, mask_type="idt")
     writer = TensorBoardWriter(str(tmp_path))
+    from passion_tpu.models import init_params_host
     fit(model, [batch], Cfg(), modal_num=np.array([1, 1, 1, 1]),
-        writer=writer)
+        writer=writer,
+        init_params_fn=lambda k: init_params_host(model, 0, patch_size=16))
     writer.close()
     tags = {t for _, t, _ in read_scalars(writer.path)}
     assert tags == set(REF_TAGS)

@@ -88,6 +88,7 @@ def test_mmformer_transplant_inference_parity(torch_mmformer, mask):
     [False, True, False, False],
     [True, False, True, True],
 ])
+@pytest.mark.slow
 def test_rfnet_transplant_inference_parity(torch_rfnet, mask):
     from passion_tpu.interop import rfnet_params_from_torch
     from passion_tpu.models.rfnet import RFNet

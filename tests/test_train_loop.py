@@ -61,6 +61,7 @@ def _cfg(tmp_path, **kw):
     return TrainConfig(**base)
 
 
+@pytest.mark.slow
 def test_fit_passion_smoke_and_resume(train_setup, tmp_path):
     root, ds = train_setup
     loader = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=3,
@@ -84,6 +85,7 @@ def test_fit_passion_smoke_and_resume(train_setup, tmp_path):
     assert len(hist2) == 1 and hist2[0]["epoch"] == 2
 
 
+@pytest.mark.slow
 def test_fit_no_passion(train_setup, tmp_path):
     root, ds = train_setup
     loader = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=3,
@@ -96,6 +98,7 @@ def test_fit_no_passion(train_setup, tmp_path):
     assert history[0]["kl_loss"] == 0.0
 
 
+@pytest.mark.slow
 def test_fit_use_valid_scores_and_model_best(train_setup, tmp_path):
     """Working --use_valid path (reference train.py:468-544, disabled there):
     per-epoch 15-mask validation scores on all three channels + the exact

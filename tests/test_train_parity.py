@@ -120,6 +120,7 @@ def torch_rfnet_train():
     ("idt", [[True, False, False, False], [True, True, True, True]], 3),
     ("pdt", [[True, True, True, True], [True, False, True, True]], None),
 ])
+@pytest.mark.slow
 def test_rfnet_train_forward_parity(torch_rfnet_train, mask_type, masks,
                                     missing_cls):
     """All six training outputs match the reference composition
