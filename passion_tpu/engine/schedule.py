@@ -49,7 +49,15 @@ def lr_at_epoch(epoch: int, base_lr: float, num_epochs: int,
 def get_temperature(epoch: int) -> int:
     """Linear 30->1 temperature decay over the first 30 epochs
     (utils/lr_scheduler.py:45-49 — dead code in the reference, whose drivers
-    pass the constant ``--temp`` instead; kept for surface parity)."""
+    pass the constant ``--temp`` instead; kept for surface parity).
+
+    Justified skip note (inventory completeness): the neighboring
+    ``get_params`` (utils/lr_scheduler.py:51-62) is NOT ported — it reads
+    ``model.module.decoder_all.abstraction1..4`` attributes that exist on
+    none of the reference's three models (a leftover from a different
+    codebase); there is no behavior to reproduce.  The rest of that dead
+    block IS ported: ``record_loss`` (logging_utils.py), ``Js_div`` and
+    ``mutual_learning_loss`` (losses_legacy.py)."""
     return 31 - (epoch + 1) if epoch <= 29 else 1
 
 
