@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from passion_tpu.ops import s2d
 from passion_tpu.ops.attn_mask import cross_key_bias, fusion_attention_bias
 from passion_tpu.ops.fused_norm import instance_norm_lrelu
 from passion_tpu.ops.norm import instance_norm
@@ -160,10 +161,19 @@ class Conv3d(nn.Module):
                                     x.shape[-1] // self.groups,
                                     self.k_size, use_bias=self.use_bias,
                                     name="Conv_0")()
-            dense = blockdiag_grouped_kernel(kernel, self.groups)
-            y = jax.lax.conv_general_dilated(
-                x, dense.astype(x.dtype), (self.stride,) * 3, "VALID",
-                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+            if s2d.native_groups_enabled():
+                # forward-only inference traces: native grouped conv now
+                # beats the dense block-diagonal form (r4 microbench, see
+                # ops/s2d.py native_groups); gradients still need dense
+                y = jax.lax.conv_general_dilated(
+                    x, kernel.astype(x.dtype), (self.stride,) * 3, "VALID",
+                    dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+                    feature_group_count=self.groups)
+            else:
+                dense = blockdiag_grouped_kernel(kernel, self.groups)
+                y = jax.lax.conv_general_dilated(
+                    x, dense.astype(x.dtype), (self.stride,) * 3, "VALID",
+                    dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
             if bias is not None:
                 y = y + bias.astype(y.dtype)
             return y

@@ -66,6 +66,39 @@ def no_pad_barrier():
     finally:
         _PAD_BARRIER = prev
 
+
+# Trace-time flag: execute grouped convs NATIVELY (feature_group_count=G,
+# per-group kernels) instead of dense block-diagonal. OFF by default after
+# r4 measurement: the isolated forward microbench at the encode stage-1
+# shape (75,40^3,256 -> 256, k=3, G=4, bf16, real v5e) measured native
+# ~54 ms vs dense ~95 ms (the r2 "dense wins" result no longer holds for
+# isolated forwards), but END-TO-END the 15-mask sweep was jitter-neutral
+# (2.99 vs 3.03 mean mask-cases/s) AND peak HBM grew enough to OOM the
+# double-feature-tree encode trace that fits under the dense form — the
+# whole-program native rewrite loses its isolated advantage to layout
+# changes around the grouped ops. Kept as an exactness-tested experiment
+# switch (tests/test_s2d.py native-vs-dense goldens) for future chips;
+# grouped-conv GRADIENTS still lower to non-MXU fusions, so the training
+# path must keep the dense form regardless.
+_NATIVE_GROUPS = False
+
+
+@contextmanager
+def native_groups(on: bool = True):
+    """Trace grouped convs as native feature_group_count convs (forward-only
+    inference traces; see _NATIVE_GROUPS)."""
+    global _NATIVE_GROUPS
+    prev = _NATIVE_GROUPS
+    _NATIVE_GROUPS = on
+    try:
+        yield
+    finally:
+        _NATIVE_GROUPS = prev
+
+
+def native_groups_enabled() -> bool:
+    return _NATIVE_GROUPS
+
 # per-axis taps (p, q, kernel_pos=c+1, tap_pos=d+1) for k=3 stride-1
 _TAPS_K3S1 = (
     (0, 0, 1, 1),
@@ -190,6 +223,12 @@ def s2d_conv3_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     co = gco // groups
     wg = w.reshape(3, 3, 3, ci, groups, co)
     a = jnp.asarray(_A_S1, w.dtype)
+    if _NATIVE_GROUPS and groups > 1:
+        # per-group kernel (Ci/G-in, all-out, group-major out channels) for
+        # feature_group_count execution — same taps, no structural zeros
+        full = jnp.einsum("aqpd,brse,ctuf,defigo->abciqrtgopsu",
+                          a, a, a, wg)
+        return full.reshape(3, 3, 3, ci * 8, groups * co * 8)
     eye_g = jnp.asarray(_np.eye(groups, dtype=_np.float32), w.dtype)
     # out[a,b,c, g,i,qx,qy,qz, h,o,px,py,pz] =
     #   sum_{d,e,f} A[a,qx,px,d] A[b,qy,py,e] A[c,qz,pz,f] w[d,e,f,i,g,o]
@@ -210,6 +249,9 @@ def s2d_conv3_stride2_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     co = gco // groups
     wg = w.reshape(3, 3, 3, ci, groups, co)
     b = jnp.asarray(_B_S2, w.dtype)
+    if _NATIVE_GROUPS and groups > 1:
+        full = jnp.einsum("aqd,bre,ctf,defigo->abciqrtgo", b, b, b, wg)
+        return full.reshape(2, 2, 2, ci * 8, groups * co)
     eye_g = jnp.asarray(_np.eye(groups, dtype=_np.float32), w.dtype)
     full = jnp.einsum("aqd,bre,ctf,defigo,gh->abcgiqrtho",
                       b, b, b, wg, eye_g)
@@ -227,6 +269,9 @@ def s2d_conv1_kernel(w: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
     co = gco // groups
     wg = w.reshape(ci, groups, co)
     eye2 = jnp.asarray(_EYE2, w.dtype)
+    if _NATIVE_GROUPS and groups > 1:
+        full = jnp.einsum("igo,qp,rs,tu->iqrtgopsu", wg, eye2, eye2, eye2)
+        return full.reshape(1, 1, 1, ci * 8, groups * co * 8)
     eye_g = jnp.asarray(_np.eye(groups, dtype=_np.float32), w.dtype)
     full = jnp.einsum("igo,gh,qp,rs,tu->giqrthopsu",
                       wg, eye_g, eye2, eye2, eye2)
@@ -282,10 +327,17 @@ def s2d_pad(x: jnp.ndarray, left: bool = True, right: bool = True,
 
 
 def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias=None) -> jnp.ndarray:
-    """VALID conv on the (already padded) block grid."""
+    """VALID conv on the (already padded) block grid.
+
+    Group count is inferred from the kernel's input-channel extent: the
+    kernel builders emit per-group kernels (Ci/G input channels) under
+    `native_groups()`, and full block-diagonal kernels otherwise — call
+    sites stay identical either way."""
+    groups = x.shape[-1] // kernel.shape[3]
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1, 1), "VALID",
-        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+        dimension_numbers=("NHWDC", "HWDIO", "NHWDC"),
+        feature_group_count=groups)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

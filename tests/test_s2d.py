@@ -141,3 +141,44 @@ def test_mask_channels_s2d(rng):
     assert np.all(v[0, ..., 1, :] == 0) and np.all(v[0, ..., 3, :] == 0)
     assert np.all(v[1, ..., 0, :] == 0)
     assert not np.all(v[0, ..., 0, :] == 0)
+
+
+def test_native_grouped_kernels_match_dense(rng, x):
+    # native_groups() emits per-group kernels for feature_group_count
+    # execution; results must be IDENTICAL to the dense block-diagonal form
+    # (same taps, no structural-zero terms). r4 forward-only inference path.
+    from passion_tpu.ops import s2d as S
+
+    g, ci, co = 4, 3, 5
+    xs = S.space_to_depth(
+        jnp.asarray(rng.standard_normal((2, 8, 8, 8, g * ci)), jnp.float32))
+    w3 = jnp.asarray(rng.standard_normal((3, 3, 3, ci, g * co)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((1, 1, 1, ci, g * co)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((g * co,)), jnp.float32)
+
+    dense3 = S.s2d_conv(S.s2d_pad(xs), S.s2d_conv3_kernel(w3, g), S.s2d_bias(b))
+    dense2 = S.s2d_conv(S.s2d_pad(xs, right=False),
+                        S.s2d_conv3_stride2_kernel(w3, g), b)
+    dense1 = S.s2d_conv(xs, S.s2d_conv1_kernel(w1, g), S.s2d_bias(b))
+    with S.native_groups():
+        nat3 = S.s2d_conv(S.s2d_pad(xs), S.s2d_conv3_kernel(w3, g),
+                          S.s2d_bias(b))
+        nat2 = S.s2d_conv(S.s2d_pad(xs, right=False),
+                          S.s2d_conv3_stride2_kernel(w3, g), b)
+        nat1 = S.s2d_conv(xs, S.s2d_conv1_kernel(w1, g), S.s2d_bias(b))
+    np.testing.assert_allclose(nat3, dense3, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(nat2, dense2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(nat1, dense1, rtol=1e-5, atol=1e-5)
+
+
+def test_native_grouped_conv3d_layer_matches_dense(rng):
+    from passion_tpu.models.layers import Conv3d
+    from passion_tpu.ops import s2d as S
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 6, 8)), jnp.float32)
+    layer = Conv3d(12, k_size=3, padding=1, groups=4)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    dense = layer.apply(params, x)
+    with S.native_groups():
+        nat = layer.apply(params, x)
+    np.testing.assert_allclose(nat, dense, rtol=1e-5, atol=1e-5)
