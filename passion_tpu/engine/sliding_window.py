@@ -39,12 +39,14 @@ from passion_tpu.ops import fused_norm, s2d
 # on a 16 GB v5e chip: sweep 2.83 mask-cases/s vs 2.02 at wb=25 and 1.94
 # at wb=16 (scripts/profile_sweep_wb.py) — zero pad waste and no scan
 # carry. 80 gives headroom for slightly larger volumes while bounding
-# activation memory near the measured point. NOTE: activation memory per
-# dispatch scales with backbone size and patch³ — the 75-window point was
-# validated with mmFormer at patch=80 on a 16 GB chip (and the sweep engine
-# stores all-window features besides); on memory-tighter configs (bigger
-# models, in-training validation sharing HBM with the optimizer state)
-# `--window_batch` is the escape hatch if auto OOMs.
+# activation memory near the measured point. Memory validated (r4) for ALL
+# three backbones at patch=80 on the 16 GB v5e — one-chunk canonical-case
+# sweeps fit and run: mmFormer 3.07, RFNet 1.94, M2FTrans 1.15
+# mask-cases/s (the sweep engine stores all-window features besides).
+# NOTE: activation memory per dispatch still scales with backbone size and
+# patch³; on memory-tighter configs (bigger models, in-training validation
+# sharing HBM with the optimizer state) `--window_batch` is the escape
+# hatch if auto OOMs.
 _AUTO_WINDOW_BATCH_CAP = 80
 
 
