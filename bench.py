@@ -88,13 +88,16 @@ def _chip_peak():
 
 
 def _time_reps(fn, n_reps: int):
-    """Returns (best_rate_s, mean_rate_s) as seconds per call."""
+    """Returns (best_s, mean_s, times_list) as seconds per call. The raw
+    per-rep list rides into the bench JSON (`reps_*` fields) so cross-round
+    deltas can be separated from the ~10% tunnel jitter without prose
+    (VERDICT r4 weak #5)."""
     times = []
     for _ in range(n_reps):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return min(times), float(np.mean(times))
+    return min(times), float(np.mean(times)), times
 
 
 def _setup_model():
@@ -131,13 +134,15 @@ def _bench_sweep(model=None, params=None):
     # 8 reps (r4, was 5): the driver-captured r3 mean ran ~7% under the
     # builder's uncontended runs; more reps tighten the mean against tunnel
     # jitter at ~15 s extra cost
-    best, mean = _time_reps(
+    best, mean, times = _time_reps(
         lambda: engine.sweep_labels(params, prepared, masks), 8)
     rate, rate_mean = len(masks) / best, len(masks) / mean
+    reps = [round(len(masks) / t, 4) for t in times]
     flops_per_sweep = SWEEP_ENCODE_FLOPS + 15 * SWEEP_FUSE_FLOPS_PER_MASK
     peak, kind = _chip_peak()
     mfu = (flops_per_sweep / mean) / peak
-    return dict(rate=rate, rate_mean=rate_mean, mfu=mfu, chip=kind)
+    return dict(rate=rate, rate_mean=rate_mean, mfu=mfu, chip=kind,
+                reps=reps, std=round(float(np.std(reps)), 4))
 
 
 def _bench_train(batch_size: int = 1):  # reference-canonical bs=1 (train.sh)
@@ -181,12 +186,14 @@ def _bench_train(batch_size: int = 1):  # reference-canonical bs=1 (train.sh)
     m = one(1)  # compile + warmup
     assert np.isfinite(float(m["loss"]))
     n = 5
-    best, mean = _time_reps(lambda: float(one(n)["loss"]), 2)
+    best, mean, times = _time_reps(lambda: float(one(n)["loss"]), 2)
     rate, rate_mean = n / best, n / mean
+    reps = [round(n / t, 4) for t in times]
     peak, kind = _chip_peak()
     mfu = (TRAIN_STEP_FLOPS * rate_mean * batch_size) / peak
     return dict(rate=rate, rate_mean=rate_mean, mfu=mfu, chip=kind,
-                batch_size=batch_size)
+                batch_size=batch_size, reps=reps,
+                std=round(float(np.std(reps)), 4))
 
 
 def _bench_single():
@@ -285,6 +292,8 @@ def main():
             "vs_baseline_floor": round(
                 s["rate_mean"] / REF_CASES_PER_SEC_SOL, 3),
             "mfu_sweep": round(s["mfu"], 5),
+            "reps_sweep": s["reps"],
+            "std_sweep": s["std"],
             "chip": s["chip"],
         })
     if do_train:
@@ -302,6 +311,8 @@ def main():
                 t["rate_mean"] * t["batch_size"]
                 / REF_TRAIN_SAMPLES_PER_SEC_SOL, 3),
             "mfu_train": round(t["mfu"], 5),
+            "reps_train": t["reps"],
+            "std_train": t["std"],
         }
         if not do_sweep:
             row.update({
@@ -313,8 +324,10 @@ def main():
             })
         row.update(train_fields)
         row.setdefault("chip", t["chip"])
-    row["methodology"] = ("value=mean-of-N (headline), value_best=best-of-N "
-                          "(tunnel jitter ~10%)")
+    row["methodology"] = ("value=mean-of-N (headline), value_best=best-of-N; "
+                          "reps_*/std_* carry the raw per-rep rates so "
+                          "cross-round deltas separate from the ~10% tunnel "
+                          "jitter")
     row["baseline_basis"] = BASELINE_BASIS
     print(json.dumps(row))
 

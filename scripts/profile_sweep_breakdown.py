@@ -65,7 +65,9 @@ def main():
     t_fuse15 = time.perf_counter() - t0
 
     # host label cost: D2H fetch + 2-bit unpack + crop, one settled volume
-    done = sync(engine._fuse_labels_device(params, prepared, fts, masks[0]))
+    # (np.asarray of the packed labels IS the sync — see the NOTE above)
+    done = engine._fuse_labels_device(params, prepared, fts, masks[0])
+    np.asarray(done)
     t0 = time.perf_counter()
     _ = engine.fetch_labels(prepared, done)
     t_fetch1 = time.perf_counter() - t0
