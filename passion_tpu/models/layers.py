@@ -102,6 +102,22 @@ def mask_channels(x: jnp.ndarray, mask: jnp.ndarray, num_modals: int = NUM_MODAL
     return x * m.reshape((b,) + (1,) * (x.ndim - 2) + (num_modals * c,))
 
 
+def mask_kernel_rows(kernel: jnp.ndarray, in_mask: jnp.ndarray,
+                     num_modals: int = NUM_MODALS) -> jnp.ndarray:
+    """Fold a modality mask into a conv kernel's INPUT-channel rows.
+
+    kernel: (..., M*C, O); in_mask: (M,). For modality-flat inputs whose
+    absent-modality channels are exactly zero (the invariant `mask_channels`
+    creates), `conv(mask_channels(x), k) == conv(x, mask_kernel_rows(k, m))`
+    EXACTLY: every dropped term is an exact 0 * finite product either way.
+    Masking the (tiny) kernel instead of the (GB-scale) activation removes
+    the per-mask masked-copy round trip from the 15-mask sweep's fuse pass
+    (predict.py:209-215 rebuild) — see MMFormer.fuse_inference."""
+    c = kernel.shape[-2] // num_modals
+    rows = jnp.repeat(in_mask.astype(kernel.dtype), c)
+    return kernel * rows[:, None]
+
+
 def split_modalities(x: jnp.ndarray, num_modals: int = NUM_MODALS):
     """Flat (B, ..., M*C) -> list of M tensors (B, ..., C)."""
     c = x.shape[-1] // num_modals
@@ -149,13 +165,30 @@ class Conv3d(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_mask=None):
+        """`in_mask` ((M,) bool, groups == 1 only): fold a modality mask
+        into the kernel's input rows instead of masking the activation
+        (`mask_kernel_rows`) — the sweep fuse path's premasked execution."""
         if self.padding:
             p = self.padding
             mode = "reflect" if self.pad_type == "reflect" else "constant"
             x = jnp.pad(
                 x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)), mode=mode
             )
+        if in_mask is not None:
+            assert self.groups == 1, "in_mask only on ungrouped convs"
+            # raw-param twin of the nn.Conv below: same child name
+            # ("Conv_0"), param names, shapes, and initializers — the param
+            # tree is IDENTICAL whichever branch traces
+            kernel, bias = _RawConv(self.features, x.shape[-1], self.k_size,
+                                    use_bias=self.use_bias, name="Conv_0")()
+            kernel = mask_kernel_rows(kernel, in_mask)
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (self.stride,) * 3, "VALID",
+                dimension_numbers=("NHWDC", "HWDIO", "NHWDC"))
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
         if self.groups > 1:
             kernel, bias = _RawConv(self.features,
                                     x.shape[-1] // self.groups,
@@ -366,10 +399,14 @@ class GeneralConv3dPreNorm(nn.Module):
     groups: int = 1
 
     @nn.compact
-    def __call__(self, x):
-        x = instance_norm_lrelu(x)
+    def __call__(self, x, in_mask=None, skip_norm: bool = False):
+        """`skip_norm`: the input already carries IN+LReLU (hoisted into the
+        sweep engine's encode phase — valid because the norm is
+        mask-independent once masking moves into the kernel via `in_mask`)."""
+        if not skip_norm:
+            x = instance_norm_lrelu(x)
         return Conv3d(self.features, self.k_size, self.stride, self.padding,
-                      self.pad_type, groups=self.groups)(x)
+                      self.pad_type, groups=self.groups)(x, in_mask=in_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -809,11 +846,18 @@ class FusionPreNorm(nn.Module):
     in_channel: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_mask=None, prenormed: bool = False):
         """x: (B, H, W, Z, M*C) already flattened (mmFormer passes masked
-        concatenated features)."""
+        concatenated features).
+
+        Premasked sweep-fuse mode (`in_mask` + `prenormed`): x arrives
+        UNMASKED with the first conv's IN+LReLU already applied (hoisted
+        into the mask-independent encode); the modality mask is folded into
+        the first conv's kernel rows instead — exactly equivalent (see
+        `mask_kernel_rows`)."""
         c = self.in_channel
-        x = GeneralConv3dPreNorm(c, k_size=1, padding=0)(x)
+        x = GeneralConv3dPreNorm(c, k_size=1, padding=0)(
+            x, in_mask=in_mask, skip_norm=prenormed)
         x = GeneralConv3dPreNorm(c, k_size=3, padding=1, pad_type="zeros")(x)
         return GeneralConv3dPreNorm(c, k_size=1, padding=0)(x)
 

@@ -44,6 +44,7 @@ from passion_tpu.models.layers import (
     RawGeneralConv3dParams,
     Transformer,
     mask_channels,
+    mask_kernel_rows,
     mask_modalities,
     split_modalities,
     zero_unimodal_self_dist,
@@ -181,14 +182,22 @@ class DecoderFuse(nn.Module):
     basic_dims: int = 8
 
     @nn.compact
-    def __call__(self, x1, x2, x3, x4, x5):
+    def __call__(self, x1, x2, x3, x4, x5, pm_mask=None):
+        """`pm_mask` ((4,), sweep-fuse premasked mode): x1..x4 arrive
+        UNMASKED and PRENORMED (first-RFM IN+LReLU hoisted into the encode
+        phase, MMFormer.features) and the modality mask is folded into each
+        RFM's first conv kernel instead — exactly equivalent and removes
+        the per-mask masked-copy + norm of the stored features from the
+        15x fuse loop (predict.py:209-215)."""
         c = self.basic_dims
+        pn = pm_mask is not None
         de_x5_f = FusionPreNorm(c * 16, name="RFM5")(x5)
         pred4 = Conv3d(self.num_cls, k_size=1, padding=0, name="seg_d4")(de_x5_f)
         de_x5 = GeneralConv3dPreNorm(c * 8, name="d4_c1")(
             upsample_trilinear(de_x5_f, 2))
 
-        de_x4 = FusionPreNorm(c * 8, name="RFM4")(x4)
+        de_x4 = FusionPreNorm(c * 8, name="RFM4")(x4, in_mask=pm_mask,
+                                                  prenormed=pn)
         de_x4_f = GeneralConv3dPreNorm(c * 8, k_size=1, padding=0, name="d4_out")(
             GeneralConv3dPreNorm(c * 8, name="d4_c2")(
                 jnp.concatenate([de_x4, de_x5], axis=-1)))
@@ -196,7 +205,8 @@ class DecoderFuse(nn.Module):
         de_x4 = GeneralConv3dPreNorm(c * 4, name="d3_c1")(
             upsample_trilinear(de_x4_f, 2))
 
-        de_x3 = FusionPreNorm(c * 4, name="RFM3")(x3)
+        de_x3 = FusionPreNorm(c * 4, name="RFM3")(x3, in_mask=pm_mask,
+                                                  prenormed=pn)
         de_x3_f = GeneralConv3dPreNorm(c * 4, k_size=1, padding=0, name="d3_out")(
             GeneralConv3dPreNorm(c * 4, name="d3_c2")(
                 jnp.concatenate([de_x3, de_x4], axis=-1)))
@@ -204,7 +214,8 @@ class DecoderFuse(nn.Module):
         de_x3 = GeneralConv3dPreNorm(c * 2, name="d2_c1")(
             upsample_trilinear(de_x3_f, 2))
 
-        de_x2 = FusionPreNorm(c * 2, name="RFM2")(x2)
+        de_x2 = FusionPreNorm(c * 2, name="RFM2")(x2, in_mask=pm_mask,
+                                                  prenormed=pn)
         de_x2_f = GeneralConv3dPreNorm(c * 2, k_size=1, padding=0, name="d2_out")(
             GeneralConv3dPreNorm(c * 2, name="d2_c2")(
                 jnp.concatenate([de_x2, de_x3], axis=-1)))
@@ -223,7 +234,14 @@ class DecoderFuse(nn.Module):
             de_x2s = s2d.prenorm_conv_s2d(
                 upsample2_trilinear_s2d(de_x2_f), *kd1c1, k_size=3)
             de_x1s = x1
-            for (k, b), ksz in zip(rfm1, (1, 3, 1)):
+            for i, ((k, b), ksz) in enumerate(zip(rfm1, (1, 3, 1))):
+                if pn and i == 0:
+                    # premasked mode: x1 is prenormed (encode-hoisted
+                    # IN+LReLU) and unmasked; mask the 1x1 kernel rows
+                    k = mask_kernel_rows(k, pm_mask)
+                    de_x1s = s2d.s2d_conv(de_x1s, s2d.s2d_conv1_kernel(k),
+                                          s2d.s2d_bias(b))
+                    continue
                 # fusion_prenorm's k3 conv is ZERO-padded (see FusionPreNorm)
                 de_x1s = s2d.prenorm_conv_s2d(de_x1s, k, b, k_size=ksz,
                                               pad_mode="zeros")
@@ -237,7 +255,8 @@ class DecoderFuse(nn.Module):
         else:
             de_x2 = GeneralConv3dPreNorm(c, name="d1_c1")(
                 upsample_trilinear(de_x2_f, 2))
-            de_x1 = FusionPreNorm(c, name="RFM1")(x1)
+            de_x1 = FusionPreNorm(c, name="RFM1")(x1, in_mask=pm_mask,
+                                                  prenormed=pn)
             de_x1_f = GeneralConv3dPreNorm(c, k_size=1, padding=0,
                                            name="d1_out")(
                 GeneralConv3dPreNorm(c, name="d1_c2")(
@@ -277,9 +296,17 @@ class FusePath(nn.Module):
 
     @nn.compact
     def __call__(self, feats, intra_stack, pos_all, mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, premasked: bool = False):
         """feats: tuple of 4 flat scales (B,...,4*C_k); intra_stack:
-        (B,4,T,512); pos_all: (1, 4T, 512); mask: (B, 4)."""
+        (B,4,T,512); pos_all: (1, 4T, 512); mask: (B, 4).
+
+        `premasked` (static, sweep-fuse fast path): feats arrive UNMASKED
+        with each scale's first-RFM IN+LReLU already applied
+        (MMFormer.features hoists it — it is mask-independent); the mask is
+        folded into the RFM first-conv kernels inside DecoderFuse instead
+        of copying the GB-scale stored features per mask. Requires a
+        batch-uniform mask (the sweep engine broadcasts one mask per call);
+        token masking still uses the full (B, 4) mask."""
         b, _, t, d = intra_stack.shape
         s = round(t ** (1 / 3))
         tokens = mask_modalities(intra_stack, mask).reshape(b, NUM_MODALS * t, d)
@@ -292,11 +319,16 @@ class FusePath(nn.Module):
         x5 = inter.reshape(b, s, s, s, d * NUM_MODALS)
         x5 = nn.Conv(self.basic_dims * 16 * NUM_MODALS, (1, 1, 1),
                      name="multimodal_decode_conv")(x5)
-        flat = [(s2d.mask_channels_s2d(f, mask) if k == 0 and x1_s2d
-                 else mask_channels(f, mask))
-                for k, f in enumerate(feats)]
+        if premasked:
+            flat = list(feats)
+            pm_mask = mask[0]
+        else:
+            flat = [(s2d.mask_channels_s2d(f, mask) if k == 0 and x1_s2d
+                     else mask_channels(f, mask))
+                    for k, f in enumerate(feats)]
+            pm_mask = None
         return DecoderFuse(self.num_cls, self.basic_dims, name="decoder_fuse")(
-            *flat, x5)
+            *flat, x5, pm_mask=pm_mask)
 
 
 class MMFormer(nn.Module):
@@ -333,8 +365,9 @@ class MMFormer(nn.Module):
         self.decoder_sep = decoder_remat(DecoderSep)(
             self.num_cls, self.basic_dims, name="decoder_sep")
         self.fuse_path = nn.vmap(
-            decoder_remat(FusePath, static_argnums=(5,)),  # deterministic flag
-            in_axes=(None, None, None, 0, None), out_axes=0,
+            # static: deterministic + premasked flags
+            decoder_remat(FusePath, static_argnums=(5, 6)),
+            in_axes=(None, None, None, 0, None, None), out_axes=0,
             variable_axes={"params": None},
             split_rngs={"params": False, "dropout": True},
         )(self.num_cls, self.basic_dims, self.heads, self.mlp_dim,
@@ -381,7 +414,7 @@ class MMFormer(nn.Module):
     def __call__(self, x, mask, deterministic: bool = True):
         feats, intra, pos_all = self.encode(x, mask, deterministic)
         logits, _, _ = self.fuse_path(feats[:4], intra, pos_all, mask[None],
-                                      deterministic)
+                                      deterministic, False)
         return jax.nn.softmax(logits[0], axis=-1)
 
     def _pos_all(self):
@@ -413,15 +446,27 @@ class MMFormer(nn.Module):
         x1 = feats[0]
         if x1.shape[1] != feats[1].shape[1]:  # encoder returned conventional
             x1 = s2d.space_to_depth(x1)
-        return {"x1s": x1, "rest": tuple(feats[1:4]), "intra": intra}
+        # Hoist each scale's first-RFM IN+LReLU out of the per-mask fuse
+        # loop: with the mask folded into the RFM kernels (premasked
+        # DecoderFuse), the norm input is the SAME unmasked feature for all
+        # 15 masks — compute it once per case here instead of 15x there.
+        # Exactness: per-(window, channel) IN statistics are untouched by
+        # other channels' masking, and every masked channel's contribution
+        # dies in the zeroed kernel rows (mask_kernel_rows).
+        x1 = instance_norm_lrelu(x1, phase_group=8)
+        rest = tuple(instance_norm_lrelu(f) for f in feats[1:4])
+        return {"x1s": x1, "rest": rest, "intra": intra}
 
     def fuse_inference(self, fts, mask, deterministic: bool = True):
         """InterFormer + fusion decode + softmax from precomputed features.
-        x1 stays in S2D layout straight into the fusion decoder."""
+        x1 stays in S2D layout straight into the fusion decoder; stored
+        scales are prenormed and unmasked — the premasked FusePath folds
+        `mask` into the RFM kernels (batch-uniform mask required, which the
+        sweep engine guarantees by broadcasting one mask per call)."""
         feats = (fts["x1s"],) + tuple(fts["rest"])
         logits, _, _ = self.fuse_path(feats, fts["intra"],
                                       self._pos_all(), mask[None],
-                                      deterministic)
+                                      deterministic, True)
         return jax.nn.softmax(logits[0], axis=-1)
 
     def train_losses(self, x, mask, target, temp=1.0, use_passion=True,
@@ -435,7 +480,7 @@ class MMFormer(nn.Module):
 
         masks = _unimodal_mask_stack(mask) if use_passion else mask[None]
         fuse_logits, prms, de_feats = self.fuse_path(
-            feats[:4], intra, pos_all, masks, deterministic)
+            feats[:4], intra, pos_all, masks, deterministic, False)
 
         # x1 stays in S2D layout: the modality slice is contiguous there too
         # (modality-major original channels, each expanded by 8 phases), and

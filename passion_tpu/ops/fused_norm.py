@@ -26,6 +26,7 @@ Numerics match the jnp path to float tolerance (tests/test_ops.py).
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from functools import partial
 

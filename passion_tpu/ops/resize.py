@@ -12,6 +12,7 @@ TPU than a gather-based kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -87,8 +88,9 @@ def upsample_trilinear(x: jnp.ndarray, scale: int, align_corners: bool = True) -
 # conventionally and enters S2D via the stride-2 identity conv (canonical
 # layouts end-to-end); 'einsum' emits phase-minor channels directly but its
 # per-axis (k, p) merge reshapes forced XLA into transposed-layout copies
-# (~3-5 ms each across the 5-pass decoder, r3 train trace).
-UPSAMPLE_S2D_IMPL = "conv"
+# (~3-5 ms each across the 5-pass decoder, r3 train trace). Env override
+# PASSION_UPSAMPLE_S2D for perf experiments.
+UPSAMPLE_S2D_IMPL = os.environ.get("PASSION_UPSAMPLE_S2D", "conv")
 
 
 def upsample2_trilinear_s2d(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:

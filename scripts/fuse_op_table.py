@@ -6,16 +6,19 @@ roofline, but only ~95 ms of the 285 ms pass was accounted op-by-op. This
 script produces the missing per-op table:
 
   * runs the shipped fuse-labels program (mmFormer, auto wb=75, bf16) under
-    `jax.profiler.trace` and aggregates per-HLO-op device self times
-    (scripts/xplane_stats.py reader);
-  * parses the COMPILED HLO text for the same executable and computes each
-    top-level op's bytes = |output| + sum |operands| (shape arithmetic —
-    the standard bytes-accessed floor for a fused op; it slightly
-    UNDER-counts ops that re-read an operand and OVER-counts fusions that
-    only read a slice, so it is a floor estimate, not an exact measure);
-  * joins the two on HLO op name and prints measured ms vs memory-floor ms
-    (bytes / 819 GB/s) per op, sorted by measured time, with a flag on
-    every op >= `flag_ms` running under 80% of its floor.
+    `jax.profiler.trace` and aggregates per-HLO-op device SELF times on the
+    "XLA Ops" lane (additive — the Async lane's copy-starts overlap compute
+    and the Modules lane is the whole program);
+  * computes each op's memory floor from the operand/result shapes embedded
+    in its HLO long name (output + sum of operands, bytes / 819 GB/s) — a
+    floor estimate: it ignores re-reads and counts whole operands that a
+    fusion may only slice;
+  * for convolution-shaped fusions (a (k,k,k,I,O) operand whose O matches
+    the result minor dim) also computes the compute floor at the bf16 peak
+    AND at the lane-limited MXU ceiling (O < 128 output channels fill O/128
+    of the MXU lanes — the r4 shape-ceiling argument, PROFILE.md);
+  * prints measured ms vs the binding floor, sorted by measured time, and
+    flags every op >= `flag_ms` ms running under 80% of that floor.
 
 Run on the real chip: python scripts/fuse_op_table.py [model] [reps] [top_n]
 """
@@ -33,61 +36,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-PEAK_BW = 819e9  # v5e HBM bytes/s (BASELINE.md)
+PEAK_BW = 819e9      # v5e HBM bytes/s (BASELINE.md)
+PEAK_FLOPS = 197e12  # v5e dense bf16
 
 _DTYPE_BYTES = {
     "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
     "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
-    "c64": 8, "c128": 16, "token": 0, "opaque": 0, "s4": 1, "u4": 1,
+    "c64": 8, "c128": 16, "s4": 1, "u4": 1,
 }
 
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
-_INSTR_RE = re.compile(r"^\s+(?:ROOT\s+)?%?([\w\.\-]+)\s+=\s+(.+)$")
+_SHAPE_RE = re.compile(r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([\d,]*)\]")
 
 
-def _shape_bytes(type_str: str) -> int:
-    """Total bytes of an HLO type string (handles tuples by summing)."""
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(type_str):
-        if dt not in _DTYPE_BYTES:
-            continue
-        n = 1
-        if dims:
-            for d in dims.split(","):
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+def _shapes_in(text: str):
+    """[(dtype, [dims...])] for every shape token in an HLO long name."""
+    out = []
+    for dt, dims in _SHAPE_RE.findall(text):
+        out.append((dt, [int(d) for d in dims.split(",")] if dims else []))
+    return out
 
 
-def parse_hlo_bytes(hlo_text: str):
-    """name -> (out_bytes, [operand names]) over ALL computations."""
-    sizes: dict[str, int] = {}
-    operands: dict[str, list] = {}
-    for line in hlo_text.splitlines():
-        m = _INSTR_RE.match(line)
-        if not m:
-            continue
-        name, rhs = m.groups()
-        # rhs: "bf16[75,40,40,40,64]{4,3,2,1,0} fusion(%a, %b), kind=..."
-        # type string ends at the first space after the layout braces
-        tm = re.match(r"^(\(?[\w\[\],\{\} ]*?\)?)\s+([a-z][\w\-]*)\(", rhs)
-        if not tm:
-            continue
-        type_str, _op = tm.groups()
-        sizes[name] = _shape_bytes(type_str)
-        # operand names: %name tokens inside the first (...) argument list
-        args = rhs[rhs.index("("):]
-        ops = re.findall(r"%([\w\.\-]+)", args)
-        # keep only operands that are instruction names (filters metadata)
-        operands[name] = ops
-    return sizes, operands
+def op_floors(long_name: str):
+    """(bytes, conv_flops or 0) for one HLO op long name.
 
-
-def op_floor_bytes(name: str, sizes: dict, operands: dict) -> int:
-    outs = sizes.get(name, 0)
-    ins = sum(sizes.get(o, 0) for o in operands.get(name, [])
-              if o in sizes)
-    return outs + ins
+    The long name is `%name = OUTSHAPE op(INSHAPE %a, INSHAPE %b, ...), ...`:
+    the first shape is the result, the rest are operand shapes.
+    """
+    shapes = _shapes_in(long_name.split(", calls=")[0])
+    if not shapes:
+        return 0, 0, 0
+    byts = sum(int(np.prod(dims or [1])) * _DTYPE_BYTES[dt]
+               for dt, dims in shapes)
+    out_dt, out_dims = shapes[0]
+    conv_flops, out_ch = 0, 0
+    if "convolution" in long_name or "fusion" in long_name:
+        for dt, dims in shapes[1:]:
+            if (len(dims) == 5 and dims[0] == dims[1] == dims[2]
+                    and dims[0] <= 7 and out_dims
+                    and dims[4] == out_dims[-1]):
+                k3, ci, co = dims[0] ** 3, dims[3], dims[4]
+                n_out = int(np.prod(out_dims)) // co
+                conv_flops = 2 * n_out * k3 * ci * co
+                out_ch = co
+                break
+    return byts, conv_flops, out_ch
 
 
 def main():
@@ -106,7 +98,7 @@ def main():
 
     name = sys.argv[1] if len(sys.argv) > 1 else "mmformer"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 45
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 40
     flag_ms = 5.0
 
     model = get_model(name, mask_type="idt", patch_size=80)
@@ -135,16 +127,6 @@ def main():
         fuse_once()
     wall = (time.perf_counter() - t0) / 3
 
-    # compiled HLO for the byte floors
-    lowered = engine._jit_fuse_labels.lower(
-        params, fts, prepared["wgt"], mask,
-        cosets=prepared["cosets"], pack=pack)
-    compiled = lowered.compile()
-    hlo = compiled.as_text()
-    sizes, operands = parse_hlo_bytes(hlo)
-    ca = compiled.cost_analysis()
-    prog_bytes = float(ca.get("bytes accessed", 0.0))
-
     trace_dir = tempfile.mkdtemp(prefix="fuse_op_table_")
     with jax.profiler.trace(trace_dir):
         for _ in range(reps):
@@ -153,50 +135,58 @@ def main():
     import glob
     pbs = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                            recursive=True))
-    totals, lane_totals = device_op_totals(pbs[-1])
+    totals, _ = device_op_totals(pbs[-1])
 
-    # aggregate across lanes by op name, per rep
-    per_op = defaultdict(lambda: [0.0, 0])
-    for (_lane, op), (ps, occ) in totals.items():
-        per_op[op][0] += ps / 1e9 / reps   # ms per fuse pass
-        per_op[op][1] += occ // reps or occ
+    per_op = {}
+    for (lane, op), (ps, occ) in totals.items():
+        if lane != "XLA Ops":
+            continue
+        per_op[op] = (ps / 1e9 / reps, max(occ // reps, 1))
     dev_total = sum(v[0] for v in per_op.values())
 
     rows = []
     for op, (ms, occ) in per_op.items():
-        base = op.split(" ")[0].lstrip("%")
-        byts = op_floor_bytes(base, sizes, operands)
-        floor = byts / PEAK_BW * 1e3 * max(occ, 1) if byts else 0.0
-        rows.append((ms, occ, op, byts, floor))
+        byts, cflops, out_ch = op_floors(op)
+        mem_floor = byts / PEAK_BW * 1e3 * occ
+        comp_floor = cflops / PEAK_FLOPS * 1e3 * occ
+        # lane-limited MXU ceiling for narrow-output convs (PROFILE.md r4)
+        shape_floor = (cflops / (PEAK_FLOPS * min(out_ch, 128) / 128) * 1e3
+                       * occ) if cflops else 0.0
+        floor = max(mem_floor, comp_floor)
+        rows.append((ms, occ, op, byts * occ, mem_floor, comp_floor,
+                     shape_floor, floor))
     rows.sort(reverse=True)
 
-    print(f"# fuse program: wall {wall*1e3:.1f} ms/pass, device timeline "
-          f"{dev_total:.1f} ms/pass, cost-analysis bytes "
-          f"{prog_bytes/1e9:.1f} GB -> program floor "
-          f"{prog_bytes/PEAK_BW*1e3:.1f} ms")
-    print(f"{'meas ms':>8} {'x':>3} {'GB':>7} {'floor':>7} {'%floor':>7}  op")
-    acc_ms = acc_floor = 0.0
+    print(f"# fuse[{name}]: wall {wall*1e3:.1f} ms/pass, XLA-Ops device "
+          f"timeline {dev_total:.1f} ms/pass, reps={reps}")
+    print(f"{'meas':>7} {'x':>2} {'GB':>6} {'memfl':>6} {'cmpfl':>6} "
+          f"{'shpfl':>6} {'%bind':>6}  op")
+    acc = np.zeros(3)
     flagged = []
-    for ms, occ, op, byts, floor in rows[:top_n]:
-        pct = 100.0 * floor / ms if ms else 0.0
-        acc_ms += ms
-        acc_floor += floor
+    for ms, occ, op, byts, mf, cf, sf, floor in rows[:top_n]:
+        pct = 100.0 * floor / ms if ms and floor else 0.0
+        pct_s = 100.0 * max(mf, sf) / ms if ms and (mf or sf) else 0.0
+        acc += (ms, floor, max(mf, sf))
         mark = ""
-        if ms >= flag_ms and floor and pct < 80.0:
+        if ms >= flag_ms and floor and pct_s < 80.0:
             mark = "  <<< under-floor"
-            flagged.append(op)
-        print(f"{ms:8.2f} {occ:3d} {byts*occ/1e9:7.2f} {floor:7.2f} "
-              f"{pct:6.1f}%  {op[:90]}{mark}")
-    rest = dev_total - acc_ms
-    print(f"{acc_ms:8.2f}     {'':7} {acc_floor:7.2f}          TOP-{top_n} "
-          f"TOTAL ({rest:.1f} ms in remaining tail ops)")
+            flagged.append((op, ms, max(mf, sf)))
+        short = re.sub(r"\{[^}]*\}", "", op)[:110]
+        print(f"{ms:7.2f} {occ:2d} {byts/1e9:6.2f} {mf:6.2f} {cf:6.2f} "
+              f"{sf:6.2f} {pct_s:5.1f}%  {short}{mark}")
+    rest = dev_total - acc[0]
+    print(f"{acc[0]:7.2f}           {acc[1]:6.2f}        {acc[2]:6.2f}"
+          f"          TOP-{top_n} TOTAL (tail beyond top-{top_n}: "
+          f"{rest:.1f} ms)")
     if flagged:
         print(f"\n{len(flagged)} op(s) >= {flag_ms} ms under 80% of their "
-              "memory floor:")
-        for op in flagged:
-            print(f"  - {op[:110]}")
+              "binding (mem/shape) floor:")
+        for op, ms, fl in flagged:
+            print(f"  - {ms:6.2f} ms (floor {fl:5.2f}) "
+                  f"{re.sub(r'{[^}]*}', '', op)[:100]}")
     else:
-        print(f"\nEvery op >= {flag_ms} ms runs >= 80% of its memory floor.")
+        print(f"\nEvery op >= {flag_ms} ms runs >= 80% of its binding "
+              "(mem or shape-limited-MXU) floor.")
 
 
 if __name__ == "__main__":

@@ -153,3 +153,59 @@ def test_engine_with_rfnet(rng):
     probs16 = bf16(params, x, mask)
     np.testing.assert_allclose(probs16, probs, atol=0.2)
     assert abs(np.mean(probs16) - np.mean(probs)) < 0.01
+
+
+def test_oom_fallback_halves_window_chunks(rng):
+    """Device OOM under AUTO window batching degrades to smaller chunks
+    with a retry instead of dying (VERDICT r4 weak #6). Simulated by
+    failing the first dispatches with a RESOURCE_EXHAUSTED runtime error —
+    the real jaxlib error type is version-unstable, so the guard matches
+    the status string."""
+    eng = SlidingWindowInference(dummy_apply, num_cls=NUM_CLS, patch=PATCH,
+                                 window_batch=None)
+    x = rng.standard_normal((33, 24, 16, 4)).astype(np.float32)
+    prepared = eng.prepare(x)
+    assert int(prepared["coords"].shape[1]) == 8  # 4*2*1 windows, one chunk
+    expect = eng.infer_labels(None, prepared, np.ones(4, bool))
+
+    prepared2 = eng.prepare(x)
+    real = eng._jit_labels
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        wb = a[2].shape[1]
+        if wb > 2:  # "fits" only at window_batch <= 2
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating bytes")
+        return real(*a, **kw)
+
+    eng._jit_labels = flaky
+    try:
+        got = eng.infer_labels(None, prepared2, np.ones(4, bool))
+    finally:
+        eng._jit_labels = real
+    # 8 -> 4 -> 2: two failed dispatches, then success at wb=2
+    assert calls["n"] == 3
+    assert int(prepared2["coords"].shape[1]) == 2
+    np.testing.assert_array_equal(got, expect)
+
+    # an EXPLICIT --window_batch is a user instruction: no silent fallback
+    eng_manual = SlidingWindowInference(dummy_apply, num_cls=NUM_CLS,
+                                        patch=PATCH, window_batch=8)
+    prep3 = eng_manual.prepare(x)
+    eng_manual._jit_labels = flaky
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        eng_manual.infer_labels(None, prep3, np.ones(4, bool))
+
+    # unrelated errors pass through untouched
+    def boom(*a, **kw):
+        raise RuntimeError("INVALID_ARGUMENT: something else")
+
+    prep4 = eng.prepare(x)
+    eng._jit_labels = boom
+    try:
+        with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+            eng.infer_labels(None, prep4, np.ones(4, bool))
+    finally:
+        eng._jit_labels = real
