@@ -16,8 +16,16 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from passion_tpu.engine.sliding_window import SlidingWindowSweep
     from passion_tpu.masks import MASK_ARRAY

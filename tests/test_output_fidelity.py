@@ -1,6 +1,9 @@
 """End-to-end output-fidelity parity: the reference's OWN sliding-window
 evaluator vs ours, CSV row for CSV row (VERDICT r2 item 8; extended to all
-three backbones in r4 per VERDICT r3 item 3).
+three backbones in r4 per VERDICT r3 item 3; r5 adds a production-bf16
+serving-path section per backbone — sweep engine, stored features,
+premasked fuse, shipped dtype — with observed-delta printouts recorded in
+PROFILE.md).
 
 The reference's `utils/predict.py:test_dice_hd95_softmax` (reference
 predict.py:144-252) is executed directly as the oracle — on CPU, at a
@@ -279,3 +282,46 @@ def test_csv_rows_match_reference(ref_predict, tmp_path, backbone):
                                    err_msg=f"Dice row, mask {m}")
         np.testing.assert_allclose(o[4:], r[4:], atol=1e-2,
                                    err_msg=f"HD95 row, mask {m}")
+
+    # --- production bf16 serving path vs the SAME torch oracle (VERDICT r4
+    # missing #2): SlidingWindowSweep with feature reuse, the premasked
+    # fuse path (mmFormer), and the SHIPPED bf16 compute dtype. bf16 rounds
+    # activations (~3 decimal digits), so only near-tie argmax voxels can
+    # flip; on these cases the observed worst Dice delta is O(1e-3) (the
+    # printout below is recorded in PROFILE.md) — the tolerances sit well
+    # above that but far below any real quality regression.
+    from passion_tpu.engine.sliding_window import SlidingWindowSweep
+
+    sweep = SlidingWindowSweep(ours, num_cls=4, patch=patch, window_batch=4)
+    prepared_bf = sweep.prepare(x[0])
+    fts_bf = sweep.encode_case(params, prepared_bf)
+
+    class _SweepServingAdapter:
+        """Routes the evaluator's per-mask infer_labels through the sweep
+        engine's stored-feature fuse path — the production serving trace."""
+
+        def prepare(self, _x):
+            return prepared_bf
+
+        def infer_labels(self, p, prepared, mask):
+            return sweep.infer_labels_masked(p, prepared, fts_bf, mask)
+
+    bf_csv = str(tmp_path / "ours_bf16.csv")
+    for m in MASKS:
+        test_dice_hd95_softmax([batch], _SweepServingAdapter(), params,
+                               feature_mask=m, mask_name="m",
+                               csv_name=bf_csv)
+    bf_rows = _read_rows(bf_csv)
+    assert len(bf_rows) == len(MASKS)
+    worst_dice = worst_hd = 0.0
+    for m, r, o in zip(MASKS, ref_rows, bf_rows):
+        worst_dice = max(worst_dice, float(np.max(np.abs(
+            np.asarray(o[:4]) - np.asarray(r[:4])))))
+        worst_hd = max(worst_hd, float(np.max(np.abs(
+            np.asarray(o[4:]) - np.asarray(r[4:])))))
+        np.testing.assert_allclose(o[:4], r[:4], atol=0.02,
+                                   err_msg=f"bf16 Dice row, mask {m}")
+        np.testing.assert_allclose(o[4:], r[4:], atol=2.0,
+                                   err_msg=f"bf16 HD95 row, mask {m}")
+    print(f"[bf16-fidelity] {backbone}: worst |dDice|={worst_dice:.5f}, "
+          f"worst |dHD95|={worst_hd:.4f} over {len(MASKS)} masks")
