@@ -35,15 +35,26 @@ import numpy as np
 
 from passion_tpu.ops import fused_norm, s2d
 
-# Pallas fused IN+LReLU on the inference traces: a r1 win (+0.09
-# mask-cases/s against that round's program structure), re-measured OFF in
-# r5 — after the premasked fuse restructure XLA's native norm fuses its
-# statistics into the conv epilogue fusions, while the Pallas custom calls
-# pin row-major layouts that cost ~15 ms/pass of boundary copies
-# (scripts/fuse_op_table.py: fuse 253 -> 216 ms device, sweep 3.39 -> 3.94
-# mask-cases/s). PASSION_FUSED_NORM=1 re-enables for comparison; the
-# kernel itself stays maintained (ops/fused_norm.py, tests/test_ops.py).
-_INFER_FUSED_NORM = os.environ.get("PASSION_FUSED_NORM", "0") == "1"
+# Pallas fused IN+LReLU on the inference traces — resolved PER MODEL:
+#   * mmFormer (premasked fuse, r5): XLA's native norm now fuses its
+#     statistics into the conv epilogue fusions while the Pallas custom
+#     calls pin row-major layouts costing ~15 ms/pass of boundary copies
+#     (scripts/fuse_op_table.py: fuse 253 -> 216 ms device, sweep
+#     3.39 -> 3.94 mask-cases/s) -> models.MMFormer.PALLAS_INFER_NORM =
+#     False.
+#   * RFNet / M2FTrans: the XLA norm's fp32 normalize intermediates in the
+#     region-fusion path EXCEED 16 GB at the auto wb=75 chunking (measured
+#     RESOURCE_EXHAUSTED on the v5e; the Pallas kernel normalizes with
+#     bf16 residuals and fits — the r4-validated envelope) -> keep the
+#     Pallas kernel (default True).
+# PASSION_FUSED_NORM=0/1 force-overrides both ways for experiments.
+_FUSED_NORM_ENV = os.environ.get("PASSION_FUSED_NORM")
+
+
+def _resolve_fused_norm(model) -> bool:
+    if _FUSED_NORM_ENV is not None:
+        return _FUSED_NORM_ENV == "1"
+    return bool(getattr(model, "PALLAS_INFER_NORM", True))
 
 # Auto window_batch cap: the largest per-dispatch window batch. 75 (all
 # windows of a canonical 240x240x155 BraTS case in ONE chunk) is measured
@@ -207,6 +218,10 @@ class SlidingWindowInference:
         self.apply_fn = apply_fn
         self.num_cls = num_cls
         self.patch = patch
+        # set BEFORE jitting: the traced contexts read it (per-model
+        # resolution happens in SlidingWindowSweep, which knows the model)
+        if not hasattr(self, "_fused_norm"):
+            self._fused_norm = _resolve_fused_norm(None)
         self.window_batch = window_batch or None  # 0 (CLI) == None == auto
         self.spatial_bucket = spatial_bucket
         # bf16 is the serving dtype on TPU (MXU-native, halves HBM traffic);
@@ -248,7 +263,7 @@ class SlidingWindowInference:
             wins = jax.vmap(gather)(cs)
             return None, self.apply_fn(params, wins, mask_b)
 
-        with fused_norm.enabled(_INFER_FUSED_NORM), s2d.no_pad_barrier():
+        with fused_norm.enabled(self._fused_norm), s2d.no_pad_barrier():
             # inference trace: norm impl per _INFER_FUSED_NORM (module
             # docstring above), training-only pad barrier off
             _, probs = jax.lax.scan(chunk_step, None, coords)
@@ -337,6 +352,13 @@ class SlidingWindowInference:
                     "sliding-window dispatch OOMed at window_batch=%d; "
                     "retrying with chunks of <= %d windows (pass "
                     "--window_batch to pin a size)", wb, cap)
+                # the axon tunnel deallocates asynchronously: give the
+                # failed attempt's buffers a moment to actually free
+                # before the retry allocates, or the retry inherits a
+                # full chip and cascades all the way down to wb=1
+                if jax.default_backend() != "cpu":
+                    import time
+                    time.sleep(5.0)
                 self._rechunk(prepared, cap)
 
     def run(self, params, prepared, mask):
@@ -426,6 +448,7 @@ class SlidingWindowSweep(SlidingWindowInference):
         window batching; replaces the reference loop predict.py:209-215)."""
         self.model = model
         self.mesh = mesh
+        self._fused_norm = _resolve_fused_norm(model)
         super().__init__(model.apply, num_cls, patch, window_batch,
                          spatial_bucket, compute_dtype)
         if mesh is None:
@@ -509,7 +532,7 @@ class SlidingWindowSweep(SlidingWindowInference):
                                    method=type(self.model).features)
             return None, fts
 
-        with fused_norm.enabled(_INFER_FUSED_NORM), s2d.no_pad_barrier():
+        with fused_norm.enabled(self._fused_norm), s2d.no_pad_barrier():
             # inference trace: norm impl per _INFER_FUSED_NORM (module
             # docstring above), training-only pad barrier off
             _, fts = jax.lax.scan(step, None, coords)
@@ -533,7 +556,7 @@ class SlidingWindowSweep(SlidingWindowInference):
                                      method=type(self.model).fuse_inference)
             return None, probs
 
-        with fused_norm.enabled(_INFER_FUSED_NORM), s2d.no_pad_barrier():
+        with fused_norm.enabled(self._fused_norm), s2d.no_pad_barrier():
             # inference trace: norm impl per _INFER_FUSED_NORM (module
             # docstring above), training-only pad barrier off
             _, probs = jax.lax.scan(chunk_step, None, fts)
@@ -566,7 +589,7 @@ class SlidingWindowSweep(SlidingWindowInference):
         def chunk_step(carry, inp):
             acc, wgt = carry
             cs, vs, ft = inp
-            with fused_norm.enabled(_INFER_FUSED_NORM), \
+            with fused_norm.enabled(self._fused_norm), \
                     s2d.no_pad_barrier():  # inference trace (mesh path):
                 # same norm config as _fuse_run
                 probs = self.model.apply(

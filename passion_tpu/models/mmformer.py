@@ -334,6 +334,13 @@ class FusePath(nn.Module):
 class MMFormer(nn.Module):
     """mmFormer backbone with PASSION training outputs (mmformer.py:328-659)."""
 
+    # Inference-trace norm implementation (engine/sliding_window.py): with
+    # the r5 premasked fuse, XLA's native norm fuses stats into this
+    # model's conv epilogues and beats the Pallas kernel by ~37 ms/pass
+    # (RFNet/M2FTrans keep the Pallas default — their fuse paths OOM with
+    # the XLA norm's fp32 intermediates at auto wb=75).
+    PALLAS_INFER_NORM = False
+
     num_cls: int = 4
     basic_dims: int = 8
     mask_type: str = "idt"

@@ -51,19 +51,21 @@ def main():
     # NOTE: on the axon tunnel platform jax.block_until_ready returns after
     # dispatch (no-op sync) — every timed region must end in a small host
     # fetch (the 2-bit packed labels, ~2.3 MB) to observe device completion.
-    fts = engine.encode_case(params, prepared)
-
+    # Probe ordering holds ONE feature set at a time: RFNet/M2FTrans fit
+    # the r4-validated single-set envelope at auto wb=75 but not two full
+    # sets side by side (the old re-encode probe OOMed them).
     def fuse_fetch(f, m):
         return np.asarray(engine._fuse_labels_device(params, prepared, f, m))
 
     t0 = time.perf_counter()
+    fts = engine.encode_case(params, prepared)
     fuse_fetch(fts, masks[14])
-    t_fuse1 = time.perf_counter() - t0
+    t_enc_fuse = time.perf_counter() - t0  # encode + 1 fuse
 
     t0 = time.perf_counter()
-    f2 = engine.encode_case(params, prepared)
-    fuse_fetch(f2, masks[14])
-    t_enc = time.perf_counter() - t0 - t_fuse1
+    fuse_fetch(fts, masks[14])
+    t_fuse1 = time.perf_counter() - t0
+    t_enc = t_enc_fuse - t_fuse1
 
     t0 = time.perf_counter()
     pending = [engine._fuse_labels_device(params, prepared, fts, m)
@@ -79,6 +81,9 @@ def main():
     t0 = time.perf_counter()
     _ = engine.fetch_labels(prepared, done)
     t_fetch1 = time.perf_counter() - t0
+
+    del fts, done, pending  # free the probe feature set BEFORE the final
+    # sweep encodes its own — RFNet/M2FTrans fit one set, not two
 
     t0 = time.perf_counter()
     labs = engine.sweep_labels(params, prepared, masks)
