@@ -66,7 +66,9 @@ REF_TRAIN_SAMPLES_PER_SEC_SOL = 1.6  # canonical train FLOPs at 15% MFU
 # comparable before r4; see PROFILE.md "Roofline accounting (r4)". ---------
 SWEEP_ENCODE_FLOPS = 42.3019e12      # all 75 windows of one case, per case
 SWEEP_FUSE_FLOPS_PER_MASK = 6.9385e12  # per mask
-TRAIN_STEP_FLOPS = 4.3571e12         # PASSION step, batch 1 (S2D-inflated)
+# PASSION step, batch 1, S2D-inflated, remat=none (the r5 default;
+# scripts/roofline_train.py cost analysis — conv was 4.3570, full 5.2912)
+TRAIN_STEP_FLOPS = 4.4209e12
 
 CHIP_PEAK_BF16 = {  # dense bf16 FLOP/s per chip
     "TPU v5 lite": 197e12,   # v5e

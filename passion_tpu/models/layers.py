@@ -36,11 +36,17 @@ NUM_MODALS = 4
 #   "conv" — remat with a policy that SAVES conv/matmul outputs and
 #            recomputes only the cheap elementwise/norm epilogues
 #            (~the forward conv time cheaper than "full" in backward),
-#   "none" — save all residuals (fastest when HBM fits).
-# Overridable via PASSION_DECODER_REMAT for benchmarking.
+#   "none" — save all residuals (fastest; the r5 default).
+# r5 roofline sweep (scripts/roofline_train.py, real v5e, mmFormer 80^3
+# bs=1 PASSION step): every mode runs AT its HBM roofline — none 191 GB /
+# 224 ms measured (4.46 steps/s), conv 183 GB / 230 ms (4.35), full
+# 246 GB / 298 ms (3.35) — so the policy choice IS the bytes choice, and
+# "none" measures fastest while fitting the canonical bs=1 config in
+# 16 GB alongside AdamW state. Memory-tighter configs (local batch >= 2,
+# bigger basic_dims) should set PASSION_DECODER_REMAT=conv (or full).
 import os as _os
 
-DECODER_REMAT = _os.environ.get("PASSION_DECODER_REMAT", "conv")
+DECODER_REMAT = _os.environ.get("PASSION_DECODER_REMAT", "none")
 
 
 def _conv_outputs_saveable(prim, *_, **__):
