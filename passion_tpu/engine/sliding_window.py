@@ -47,14 +47,18 @@ from passion_tpu.ops import fused_norm, s2d
 #     RESOURCE_EXHAUSTED on the v5e; the Pallas kernel normalizes with
 #     bf16 residuals and fits — the r4-validated envelope) -> keep the
 #     Pallas kernel (default True).
-# PASSION_FUSED_NORM=0/1 force-overrides both ways for experiments.
+# PASSION_FUSED_NORM=0/1/mixed force-overrides for experiments ("mixed" =
+# Pallas only on lane-aligned channel counts, XLA norm elsewhere — see
+# ops/fused_norm.enabled()).
 _FUSED_NORM_ENV = os.environ.get("PASSION_FUSED_NORM")
 
 
-def _resolve_fused_norm(model) -> bool:
+def _resolve_fused_norm(model):
     if _FUSED_NORM_ENV is not None:
+        if _FUSED_NORM_ENV == "mixed":
+            return "mixed"
         return _FUSED_NORM_ENV == "1"
-    return bool(getattr(model, "PALLAS_INFER_NORM", True))
+    return getattr(model, "PALLAS_INFER_NORM", True)
 
 # Auto window_batch cap: the largest per-dispatch window batch. 75 (all
 # windows of a canonical 240x240x155 BraTS case in ONE chunk) is measured

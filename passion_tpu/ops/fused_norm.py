@@ -42,13 +42,20 @@ _MIN_PALLAS_ELEMS = 1 << 21  # below ~2M elements XLA's version is fine
 
 
 def is_enabled() -> bool:
-    return _ENABLED
+    return bool(_ENABLED)
 
 
 @contextmanager
-def enabled(on: bool = True):
+def enabled(on=True):
     """Enable the fused Pallas kernels for code traced inside this context
-    (trace-time flag: wrap the jit-ed function body, not the call)."""
+    (trace-time flag: wrap the jit-ed function body, not the call).
+
+    `on` is False, True, or "mixed": mixed applies the Pallas kernel only
+    where its layout is free — channel counts that are already a multiple
+    of the 128-lane width, so the (rows, lanes) view is a no-op reshape —
+    and leaves the narrow-channel sites (whose lane-packed reinterpret
+    pins a row-major layout on the operand, forcing boundary copies in
+    surrounding fusions) to XLA's native norm."""
     global _ENABLED
     prev = _ENABLED
     _ENABLED = on
@@ -193,7 +200,11 @@ def _inl(x, eps, negative_slope, phase_group):
         b = x.shape[0]
         c = x.shape[-1]
         spatial = int(np.prod(x.shape[1:-1]))
-        ok_c = (c % 128 == 0) or (128 % c == 0 and (spatial * c) % 128 == 0)
+        if _ENABLED == "mixed":
+            ok_c = c % 128 == 0
+        else:
+            ok_c = (c % 128 == 0) or (128 % c == 0
+                                      and (spatial * c) % 128 == 0)
         if ok_c and c % phase_group == 0:
             if c % 128 == 0:
                 l, rows = c, spatial
