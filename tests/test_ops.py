@@ -165,6 +165,37 @@ class TestFusedNorm:
                         jnp.float32)
         self._check(x, 8)
 
+    def test_mixed_mode_gates_on_lane_alignment(self, rng, monkeypatch):
+        """enabled("mixed") takes the Pallas kernel ONLY at lane-aligned
+        channel counts (c % 128 == 0, no-op (rows, lanes) view) and routes
+        narrow-channel sites (whose lane-packed reinterpret pins a
+        row-major layout) to the jnp/XLA path — the per-callsite policy
+        PROFILE.md "Open items" motivates for the d1_c2/RFM1-mid norms."""
+        import passion_tpu.ops.fused_norm as fn
+
+        calls = []
+        real = fn._pallas_norm_lrelu
+        monkeypatch.setattr(fn, "_pallas_norm_lrelu",
+                            lambda *a, **k: calls.append(a[0].shape)
+                            or real(*a, **k))
+        monkeypatch.setattr(fn, "_MIN_PALLAS_ELEMS", 0)
+        wide = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 128)),
+                           jnp.float32)
+        narrow = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 64)),
+                             jnp.float32)
+        with fn.enabled("mixed"):
+            got_wide = fn.instance_norm_lrelu(wide)
+            got_narrow = fn.instance_norm_lrelu(narrow)
+        assert len(calls) == 1  # wide went Pallas, narrow did not
+        ref_wide = fn.instance_norm_lrelu(wide)
+        ref_narrow = fn.instance_norm_lrelu(narrow)
+        np.testing.assert_allclose(np.asarray(got_wide),
+                                   np.asarray(ref_wide),
+                                   atol=2e-5, rtol=1e-2)
+        # the narrow site runs the IDENTICAL jnp program -> bitwise equal
+        np.testing.assert_array_equal(np.asarray(got_narrow),
+                                      np.asarray(ref_narrow))
+
     def test_grad_inside_enabled_uses_jnp_path(self, rng):
         """Differentiating through an enabled() context must not hit the
         VJP-less pallas_call: the custom-JVP rule reroutes autodiff through
